@@ -1,0 +1,56 @@
+"""Shared model configuration and the U-Net trunk runner.
+
+``ModelConfig`` is the immutable (hashable, jit-static-safe) subset of the hparams
+dict that the networks consume — mirroring the keys the reference reads inside
+``WT_PSE.__init__`` (``/root/reference/algorithms.py:1152-1157``) and
+``ShapeVariationalDist_*``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    n_channels: int = 3
+    n_classes: int = 1
+    base_width: int = 16  # 'n' in the reference
+    feature_dim: int = 8
+    shape_prior: bool = True
+    shape_attention: bool = True
+    cat_shape: bool = False
+    shape_attention_coeffient: float = 0.3
+    whitening: bool = True
+    bn_axis_name: str | None = None
+
+    @classmethod
+    def from_hparams(cls, hparams: dict, n_channels: int = 3, n_classes: int = 1,
+                     bn_axis_name: str | None = None) -> "ModelConfig":
+        return cls(
+            n_channels=n_channels,
+            n_classes=n_classes,
+            shape_prior=bool(hparams.get("shape_prior", True)),
+            shape_attention=bool(hparams.get("shape_attention", True)),
+            cat_shape=bool(hparams.get("cat_shape", False)),
+            shape_attention_coeffient=float(hparams.get("shape_attention_coeffient", 0.3)),
+            whitening=bool(hparams.get("whitening", True)),
+            bn_axis_name=bn_axis_name,
+        )
+
+
+def unet_run(m, x1, train: bool):
+    """Run the shared 5-level encoder/decoder trunk given a module ``m`` exposing
+    down1..down4 / up1..up4 (reference trunk: ``algorithms.py:1218-1226``).
+
+    Returns the final 2n-channel decoder feature map at input resolution.
+    """
+    x2 = m.down1(x1, train)
+    x3 = m.down2(x2, train)
+    x4 = m.down3(x3, train)
+    x5 = m.down4(x4, train)
+    x = m.up1(x5, x4, train)
+    x = m.up2(x, x3, train)
+    x = m.up3(x, x2, train)
+    x = m.up4(x, x1, train)
+    return x

@@ -1,0 +1,286 @@
+"""Core layer library (Flax, NHWC).
+
+Every block here is a TPU-first re-design of a reference building block; docstrings
+cite the reference definition it is behaviorally equivalent to. Layout is NHWC
+(TPU-preferred); the PyTorch checkpoint importer handles the NCHW/OIHW transposes.
+
+Parity-critical details:
+
+- ``BatchNorm`` reproduces torch ``nn.BatchNorm2d`` semantics exactly: eps 1e-5,
+  momentum 0.1, *biased* variance for normalization, *unbiased* variance folded into
+  the running estimate, running stats used verbatim in eval. An optional ``axis_name``
+  turns it into a cross-replica (sync) BN under ``shard_map`` — new capability the
+  reference (single-GPU) never had.
+- ``upsample2x_bilinear`` / ``resize_bilinear`` match torch
+  ``nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)`` /
+  ``F.interpolate(mode='bilinear')`` (half-pixel centers, edge clamping), which the
+  reference uses in ``ConvU`` (``/root/reference/algorithms.py:929``) and in eval-time
+  native-resolution upsampling (``Trainer.py:206-209``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+class BatchNorm(nn.Module):
+    """torch.nn.BatchNorm2d-parity batch normalization over NHWC inputs.
+
+    Reference usage: ``normalization(planes, 'bn')`` inside ConvD/ConvU
+    (``/root/reference/algorithms.py:862-873``).
+
+    Args:
+      features: channel count.
+      momentum: torch momentum (fraction of the *new* statistic), default 0.1.
+      epsilon: 1e-5 (torch default).
+      axis_name: optional mesh axis for cross-replica statistics (sync BN).
+    """
+
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))  # N, H, W
+            n = 1
+            for a in reduce_axes:
+                n *= x.shape[a]
+            mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n *= jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # biased, for normalization
+            if not self.is_initializing():
+                # torch: running = (1 - m) * running + m * batch (unbiased var)
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return ((x - mean) * inv + bias).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Convolution helpers
+# ---------------------------------------------------------------------------
+
+
+def conv3x3(features: int, name: str | None = None) -> nn.Conv:
+    """3x3 same-padding conv with bias (reference convs are all bias=True).
+
+    Precision is pinned to HIGHEST: the ambient default can be bf16-ish (the axon
+    runtime lowers the global default), and checkpoint-parity eval needs true f32.
+    bf16 *training* is expressed by casting activations/params, not by lowering
+    accumulation precision.
+    """
+    return nn.Conv(features, (3, 3), padding=1, use_bias=True, name=name,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def conv1x1(features: int, name: str | None = None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), padding=0, use_bias=True, name=name,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """torch nn.MaxPool2d(kernel_size=2) parity (stride 2, floor mode)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+# ---------------------------------------------------------------------------
+# Bilinear resize with torch parity
+# ---------------------------------------------------------------------------
+
+
+def _linear_resize_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """Row-stochastic (out_size, in_size) matrix for torch align_corners=False
+    bilinear interpolation along one axis (half-pixel centers, edge clamp)."""
+    out_idx = jnp.arange(out_size, dtype=jnp.float32)
+    src = (out_idx + 0.5) * (in_size / out_size) - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo.astype(jnp.float32)
+    w_lo = 1.0 - w_hi
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    m = m.at[jnp.arange(out_size), lo].add(w_lo)
+    m = m.at[jnp.arange(out_size), hi].add(w_hi)
+    return m
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of NHWC ``x`` to ``out_hw`` matching torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` exactly.
+
+    Implemented as two dense matmuls (H then W) so XLA schedules them on the MXU —
+    faster and more reproducible than gather-based resizing on TPU.
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    mh = _linear_resize_matrix(h, oh)  # (oh, h)
+    mw = _linear_resize_matrix(w, ow)  # (ow, w)
+    xf = x.astype(jnp.float32)
+    # contract H: (oh,h) x (n,h,w,c) -> (n,oh,w,c)
+    y = jnp.einsum("oh,nhwc->nowc", mh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,nowc->nopc", mw, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(x.dtype)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """torch nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
+    n, h, w, c = x.shape
+    return resize_bilinear(x, (2 * h, 2 * w))
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize (PIL Image.NEAREST-style) for masks."""
+    return jax.image.resize(x, (x.shape[0], *out_hw, x.shape[-1]), method="nearest")
+
+
+# ---------------------------------------------------------------------------
+# Reference building blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvD(nn.Module):
+    """Encoder block: [maxpool if not first] -> conv/bn -> conv/bn/act -> conv/bn/act.
+
+    Behavioral spec: ``/root/reference/algorithms.py:877-917`` (note: *no* activation
+    after bn1 — conv1's output feeds conv2 un-activated).
+    """
+
+    planes: int
+    first: bool = False
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if not self.first:
+            x = max_pool_2x2(x)
+        x = conv3x3(self.planes, name="conv1")(x)
+        x = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn1")(x, train)
+        y = conv3x3(self.planes, name="conv2")(x)
+        y = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn2")(y, train)
+        y = nn.relu(y)
+        z = conv3x3(self.planes, name="conv3")(y)
+        z = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn3")(z, train)
+        return nn.relu(z)
+
+
+class ConvU(nn.Module):
+    """Decoder block: [conv/bn/act if not first] -> up2x -> 1x1 conv/bn/act ->
+    concat skip -> conv/bn/act.
+
+    Behavioral spec: ``/root/reference/algorithms.py:920-962``. The channel ledger:
+    input 2p (p if first), conv2 maps p -> p//2 after upsampling, concat with the
+    p//2-channel skip gives p... (reference: concat prev (p/2? no: prev has p//2*2)
+    — concretely ``up1 = ConvU(16n, first=True)``: x5(16n) -> up -> conv2 -> 8n,
+    cat x4(8n) -> 16n -> conv3 16n.
+    """
+
+    planes: int
+    first: bool = False
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, prev: jax.Array, train: bool) -> jax.Array:
+        p = self.planes
+        if not self.first:
+            x = conv3x3(p, name="conv1")(x)
+            x = BatchNorm(p, axis_name=self.bn_axis_name, name="bn1")(x, train)
+            x = nn.relu(x)
+        y = upsample2x_bilinear(x)
+        y = conv1x1(p // 2, name="conv2")(y)
+        y = BatchNorm(p // 2, axis_name=self.bn_axis_name, name="bn2")(y, train)
+        y = nn.relu(y)
+        y = jnp.concatenate([prev, y], axis=-1)
+        y = conv3x3(p, name="conv3")(y)
+        y = BatchNorm(p, axis_name=self.bn_axis_name, name="bn3")(y, train)
+        return nn.relu(y)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 -> BN -> ReLU) x 2 — ``/root/reference/algorithms.py:398-413``."""
+
+    features: int
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = conv3x3(self.features, name="conv1")(x)
+        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = conv3x3(self.features, name="conv2")(x)
+        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn2")(x, train)
+        return nn.relu(x)
+
+
+class DoubleConvWT(nn.Module):
+    """conv3x3 -> ReLU -> conv3x3, *no* normalization — the whitening front-end block
+    (``/root/reference/algorithms.py:416-428``). Output is pre-activation so the
+    covariance loss sees the raw feature response.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = conv3x3(self.features, name="conv1")(x)
+        x = nn.relu(x)
+        return conv3x3(self.features, name="conv2")(x)
+
+
+class ConvStack1x1(nn.Module):
+    """A stack of 1x1 convs with ReLU between (not after) — the ``mu`` /
+    ``mu_prior`` / ``logvar_prior`` heads (``/root/reference/algorithms.py:1199-1201,
+    1006-1012``). Sub-convs are named c0, c1, ... for checkpoint mapping.
+    """
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, f in enumerate(self.features):
+            if i > 0:
+                x = nn.relu(x)
+            x = conv1x1(f, name=f"c{i}")(x)
+        return x
+
+
+class AttentionLayer(nn.Module):
+    """1x1 conv + sigmoid gate — ``/root/reference/algorithms.py:1120-1129``.
+    Returns (sigmoid(logits), logits)."""
+
+    features: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        logits = conv1x1(self.features, name="layer1")(x)
+        return jax.nn.sigmoid(logits), logits
