@@ -1,0 +1,98 @@
+"""Metrics (Dice/ASD/HD95) and post-processing vs independent oracles."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from wt_pse_tpu.ops import metrics as M
+from wt_pse_tpu.ops.postprocess import largest_component_fill_holes, postprocess_logits
+
+
+def _blob(hw, cy, cx, r):
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r)
+
+
+def brute_surface_distances(a, b):
+    """O(n^2) oracle with the same surface definition (erosion with the
+    4-connectivity cross, medpy-style)."""
+    struct = ndi.generate_binary_structure(2, 1)
+    sa = a ^ ndi.binary_erosion(a, struct, iterations=1)
+    sb = b ^ ndi.binary_erosion(b, struct, iterations=1)
+    pa = np.argwhere(sa).astype(float)
+    pb = np.argwhere(sb).astype(float)
+    d = np.sqrt(((pa[:, None, :] - pb[None, :, :]) ** 2).sum(-1))
+    return d.min(axis=1)
+
+
+def test_dice_formula():
+    a = _blob(64, 32, 32, 10)
+    b = _blob(64, 32, 34, 10)
+    inter = np.logical_and(a, b).sum()
+    expected = (2 * inter + 1) / (1 + a.sum() + b.sum())
+    np.testing.assert_allclose(M.dice_binary(a, b), expected)
+    assert M.dice_binary(a, a) == pytest.approx(1.0, abs=1e-2)
+
+
+def test_surface_distances_match_bruteforce():
+    a = _blob(48, 24, 24, 9)
+    b = _blob(48, 22, 26, 11)
+    got = np.sort(M.surface_distances(a, b))
+    want = np.sort(brute_surface_distances(a, b))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_asd_hd95_properties():
+    a = _blob(64, 32, 32, 10)
+    assert M.asd(a, a) == 0.0
+    assert M.hd95(a, a) == 0.0
+    b = np.roll(a, 3, axis=1)  # pure translation by 3 px
+    assert 0 < M.asd(a, b) <= 3.0 + 1e-9
+    assert M.hd95(a, b) <= 3.0 * np.sqrt(2) + 1e-9
+    with pytest.raises(ValueError):
+        M.asd(np.zeros((8, 8), bool), a[:8, :8])
+
+
+def test_dice_coeff_2label_single_label_duplicates_channel0():
+    a = np.stack([_blob(32, 16, 16, 6), _blob(32, 16, 16, 10)])
+    b = np.stack([_blob(32, 16, 18, 6), _blob(32, 16, 18, 10)])
+    cup, disc = M.dice_coeff_2label(a, b, "OD")
+    assert cup == disc == M.dice_binary(a[0], b[0])
+    cup2, disc2 = M.dice_coeff_2label(a, b, None)
+    assert cup2 == M.dice_binary(a[0], b[0])
+    assert disc2 == M.dice_binary(a[1], b[1])
+
+
+def test_largest_component_fill_holes():
+    img = np.zeros((32, 32), np.uint8)
+    img[4:14, 4:14] = 1          # big blob (100 px)
+    img[8:10, 8:10] = 0          # with a hole
+    img[20:24, 20:24] = 1        # small blob (16 px)
+    img[15, 15] = 1              # 8-connectivity bridge candidate (isolated here)
+    out = largest_component_fill_holes(img.copy())
+    assert out[8, 8] == 1        # hole filled
+    assert out[21, 21] == 0      # small component removed
+    assert out[5, 5] == 1
+
+
+def test_largest_component_8_connectivity():
+    # two diagonal pixels touch corner-to-corner: 8-connectivity joins them
+    img = np.zeros((8, 8), np.uint8)
+    img[2, 2] = img[3, 3] = 1
+    img[6, 6] = 1
+    out = largest_component_fill_holes(img.copy())
+    assert out[2, 2] == 1 and out[3, 3] == 1 and out[6, 6] == 0
+
+
+def test_postprocess_logits_threshold_and_channels():
+    logits = np.full((2, 16, 16), -10.0)
+    blob = _blob(16, 8, 8, 4)
+    logits[0][blob] = 10.0
+    logits[0][0, 0] = 10.0  # spurious positive pixel far from the blob
+    logits[1][blob] = 10.0
+    out = postprocess_logits(logits, label="OD")
+    assert out[0][8, 8] == 1 and out[0][0, 0] == 0  # LCC removed the speck
+    # with label set, channel 1 is left as raw threshold
+    assert out[1][8, 8] == 1
+    out2 = postprocess_logits(logits, label=None)
+    assert out2[1][8, 8] == 1

@@ -1,0 +1,108 @@
+"""shard_map DP: the dryrun path plus single-vs-multi-device equivalence."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wt_pse_tpu.config import default_hparams
+from wt_pse_tpu.data.augment import make_device_batch_fn
+from wt_pse_tpu.models.common import ModelConfig
+from wt_pse_tpu.models.shape_prior import ShapeStudent
+from wt_pse_tpu.models.wt_pse import WTPSE
+from wt_pse_tpu.parallel.dp import make_dp_train_step
+from wt_pse_tpu.parallel.mesh import data_mesh
+from wt_pse_tpu.train.state import init_ensemble
+from wt_pse_tpu.train.step import StepConfig, make_train_step
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8  # conftest virtual CPU mesh
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_dp_matches_single_device_semantics():
+    """One DP step on 2 devices == one single-device step on the same global
+    batch (same params, deterministic batch; sync-BN axis makes stats global)."""
+    hw, domain_num, n_dev = 32, 3, 2
+    pdb_global = 2
+    batch_global = domain_num * pdb_global
+
+    hp = dict(default_hparams("WT_PSE"))
+    cfg_dp = ModelConfig.from_hparams(hp, bn_axis_name="data")
+    cfg_1 = ModelConfig.from_hparams(hp)
+
+    def build(cfg):
+        return (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
+                ShapeStudent(cfg))
+
+    nets_dp = build(cfg_dp)
+    nets_1 = build(cfg_1)
+    state_dp, txs_dp = init_ensemble(*nets_dp, (batch_global, hw, hw, 3),
+                                     jax.random.PRNGKey(0))
+    state_1, txs_1 = init_ensemble(*nets_1, (batch_global, hw, hw, 3),
+                                   jax.random.PRNGKey(0))
+    # identical params regardless of bn axis
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state_dp.od.params)[0]),
+        np.asarray(jax.tree.leaves(state_1.od.params)[0]))
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(domain_num, 4, hw, hw, 3) * 255).astype(np.uint8)
+    labs = rng.choice([0, 128, 255], size=(domain_num, 4, hw, hw)).astype(np.uint8)
+    data = {"images": jnp.asarray(imgs), "labels": jnp.asarray(labs),
+            "sizes": jnp.asarray([4, 4, 4], jnp.int32)}
+
+    mesh = data_mesh(n_dev)
+    with mesh:
+        dp_step = make_dp_train_step(*nets_dp, txs_dp, hp, mesh, domain_num,
+                                     pdb_global)
+        new_dp, m_dp = dp_step(state_dp, data, jax.random.PRNGKey(7))
+
+    # single-device run over the SAME global batch: reproduce the per-device
+    # sampling (fold_in axis_index) and concatenate domain blocks in gather order
+    pdb_local = pdb_global // n_dev
+    batch_fn = make_device_batch_fn(pdb_local)
+    parts = []
+    for dev in range(n_dev):
+        key = jax.random.fold_in(jax.random.PRNGKey(7), dev)
+        kb, ks = jax.random.split(key)
+        parts.append((batch_fn(data, kb), ks))
+    # interleave: global domain-contiguous layout = for each domain, dev0 then dev1
+    def interleave(field):
+        chunks = []
+        for d in range(domain_num):
+            for dev in range(n_dev):
+                arr = parts[dev][0][field]
+                chunks.append(arr[d * pdb_local : (d + 1) * pdb_local])
+        return jnp.concatenate(chunks)
+
+    batch = {k: interleave(k) for k in ("image", "target_od", "target_oc")}
+
+    # NOTE: the RNG draws inside the step (teacher/student eps) differ between the
+    # two runs (per-device streams vs one stream), so we compare only the
+    # RNG-independent phase-1 segmentation loss and the updated seg params'
+    # gradient direction via the loss value itself.
+    step_1 = make_train_step(*nets_1, txs_1,
+                             StepConfig(hp, domain_num, pdb_global))
+    new_1, m_1 = jax.jit(step_1)(state_1, batch, jax.random.PRNGKey(7))
+
+    # Sync-BN computes mean-of-means / pmean'd E[x^2]; vs the single-device direct
+    # global reduction that's a different f32 summation order, and the rounding
+    # compounds through ~24 BN layers — equivalence here is semantic (same math),
+    # bounded at ~1e-3 relative, not bitwise.
+    np.testing.assert_allclose(float(m_dp["loss_seg"]), float(m_1["loss_seg"]),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(m_dp["loss_ins_wt"]), float(m_1["loss_ins_wt"]),
+                               rtol=5e-3)
+    np.testing.assert_allclose(float(m_dp["loss_dom_wt"]), float(m_1["loss_dom_wt"]),
+                               rtol=5e-3, atol=1e-5)
+    # phase-1 param update must agree to Adam-step scale (grads RNG-independent)
+    a = np.asarray(jax.tree.leaves(new_dp.od.params)[0])
+    b = np.asarray(jax.tree.leaves(new_1.od.params)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-5)

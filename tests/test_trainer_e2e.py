@@ -1,0 +1,115 @@
+"""End-to-end: synthetic Fundus directory -> loader -> Trainer -> validation ->
+best checkpoint artifacts. Tiny shapes, CPU."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from wt_pse_tpu.config import default_hparams
+from wt_pse_tpu.data.fundus import load_fundus, load_train_domains
+
+
+SIZE = 64  # loader decode size for tests (keeps CPU compile fast)
+
+
+def _write_domain(root, dom, phase, n, hw=64, native=96):
+    d = os.path.join(root, f"Domain{dom}", phase, "ROIs")
+    os.makedirs(os.path.join(d, "image"), exist_ok=True)
+    os.makedirs(os.path.join(d, "mask"), exist_ok=True)
+    prefix = {1: "gd", 2: "g", 3: "G", 4: "V"}[dom]
+    rng = np.random.RandomState(dom * 100 + (phase == "test"))
+    for i in range(n):
+        size = native if phase == "test" else hw
+        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        yy, xx = np.mgrid[0:size, 0:size]
+        disc = ((yy - size / 2) ** 2 + (xx - size / 2) ** 2 < (size / 3) ** 2)
+        cup = ((yy - size / 2) ** 2 + (xx - size / 2) ** 2 < (size / 6) ** 2)
+        mask = np.full((size, size), 255, np.uint8)
+        mask[disc] = 128
+        mask[cup] = 0
+        Image.fromarray(img).save(os.path.join(d, "image", f"{prefix}_{i}.png"))
+        Image.fromarray(mask).save(os.path.join(d, "mask", f"{prefix}_{i}.png"))
+
+
+@pytest.fixture(scope="module")
+def fundus_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fundus"))
+    for dom in (1, 2, 4):
+        _write_domain(root, dom, "train", 4)
+    _write_domain(root, 3, "test", 3)
+    return root
+
+
+def test_loader_shapes_and_masks(fundus_root):
+    domains = load_train_domains(fundus_root, [1, 2, 4])
+    assert len(domains) == 3
+    for d in domains:
+        assert d.images.shape == (4, 256, 256, 3)
+        assert d.labels.shape == (4, 256, 256)
+    val = load_fundus(fundus_root, "test", [3], state="prediction")
+    assert val.images.shape == (3, 256, 256, 3)
+    small = load_fundus(fundus_root, "train", [1], size=SIZE)
+    assert small.images.shape == (4, SIZE, SIZE, 3)
+    # native-res labels preserved
+    assert val.labels[0].shape == (96, 96)
+
+
+def test_loader_missing_dir_raises(fundus_root):
+    with pytest.raises(FileNotFoundError):
+        load_fundus(fundus_root, "train", [9])
+
+
+def test_trainer_end_to_end(fundus_root, tmp_path):
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = default_hparams("WT_PSE")
+    out = str(tmp_path / "run")
+    trainer = Trainer(
+        hparams=hparams,
+        train_domains=[load_fundus(fundus_root, "train", [i], size=SIZE)
+                       for i in (1, 2, 4)],
+        val_domain=load_fundus(fundus_root, "test", [3], state="prediction", size=SIZE),
+        out_dir=out,
+        label="OD",
+        batch_size=3,        # 1 per domain
+        max_epoch=5,
+        interval_validate=4,  # validates at epoch 3 (epoch>2 gate replicated)
+        seed=1,
+        image_size=SIZE,
+    )
+    best = trainer.train()
+    assert len(best) == 6
+    # artifacts
+    assert os.path.exists(os.path.join(out, "log.csv"))
+    lines = open(os.path.join(out, "metrics.jsonl")).read().strip().split("\n")
+    assert len(lines) >= 5
+    rec = json.loads(lines[0])
+    assert "loss_seg" in rec and np.isfinite(rec["loss_seg"])
+    # validation ran at epoch 3 => best list populated + checkpoint + score.txt
+    val_recs = [json.loads(l) for l in lines if "val/objective" in json.loads(l)]
+    assert val_recs, "validation never ran"
+    if best[3] > 0:  # disc dice recorded as best
+        assert os.path.exists(os.path.join(out, "score.txt"))
+        ckpts = [p for p in os.listdir(out) if p.startswith("checkpoint_")]
+        assert ckpts
+
+
+def test_validation_gate_epoch_le_2(fundus_root, tmp_path):
+    """interval_validate=1 but max_epoch=3: epochs 0,1,2 -> only... epoch>2 gate
+    means NO validation happens (parity with Trainer.py:1048)."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        hparams=default_hparams("WT_PSE"),
+        train_domains=[load_fundus(fundus_root, "train", [i], size=SIZE)
+                       for i in (1, 2, 4)],
+        val_domain=load_fundus(fundus_root, "test", [3], state="prediction", size=SIZE),
+        out_dir=str(tmp_path / "rungate"),
+        label="OD", batch_size=3, max_epoch=3, interval_validate=1, seed=1,
+        image_size=SIZE,
+    )
+    best = trainer.train()
+    assert best == [0.0] * 6

@@ -1,0 +1,123 @@
+"""Checkpoint inference + visualization CLI.
+
+Reproduces ``test_visulization.py`` (``/root/reference/test_visulization.py:45-277``
+— the released-checkpoint demo, BASELINE config 1): rebuild the 4 networks, load a
+``.pth.tar`` (torch) or orbax checkpoint, run two-stage inference over a target
+domain's test split, upsample to native label resolution, post-process, report
+Dice/HD95/ASD means, and save contour overlays.
+
+    python -m wt_pse_tpu.cli.test_visualization --datasetTest 4 --label OD \
+        --data-dir /path/to/Fundus --model-file /path/to/checkpoint.pth.tar \
+        --out ./vis_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from wt_pse_tpu.config import default_hparams, load_config
+from wt_pse_tpu.data.fundus import encode_masks, load_fundus
+from wt_pse_tpu.models.common import ModelConfig
+from wt_pse_tpu.models.layers import resize_bilinear
+from wt_pse_tpu.models.shape_prior import ShapeStudent
+from wt_pse_tpu.models.wt_pse import WTPSE
+from wt_pse_tpu.ops import metrics as M
+from wt_pse_tpu.ops.postprocess import postprocess_logits
+from wt_pse_tpu.train.eval import evaluate_domain, make_predict_fn
+from wt_pse_tpu.utils.visualization import save_per_img
+
+
+def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
+                                   n_classes: int = 1):
+    """Rebuild the 4 nets and overlay a reference-format checkpoint
+    (test_visulization.py:122-197 filtered partial load)."""
+    import jax
+
+    from wt_pse_tpu.io.torch_import import load_into_variables, load_reference_checkpoint
+
+    cfg = ModelConfig.from_hparams(hparams, n_classes=n_classes)
+    main_od, stud_od = WTPSE(cfg), ShapeStudent(cfg)
+    main_oc, stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+
+    img = jnp.zeros((1, 256, 256, 3))
+    mask = jnp.zeros((1, 256, 256, 1))
+    k = jax.random.PRNGKey(0)
+    v_od = main_od.init({"params": k}, img, mask, method=WTPSE.initialize)
+    v_od_shape = stud_od.init({"params": k}, img, method=ShapeStudent.initialize)
+    v_oc = main_oc.init({"params": k}, img, mask, method=WTPSE.initialize)
+    v_oc_shape = stud_oc.init({"params": k}, img, method=ShapeStudent.initialize)
+
+    trees = load_reference_checkpoint(model_file)
+    v_od, n1 = load_into_variables(v_od, trees["model"])
+    v_od_shape, n2 = load_into_variables(v_od_shape, trees["model_shape"])
+    v_oc, n3 = load_into_variables(v_oc, trees["model_oc"])
+    v_oc_shape, n4 = load_into_variables(v_oc_shape, trees["model_oc_shape"])
+    print(f"checkpoint leaves matched: model={len(n1)} shape={len(n2)} "
+          f"oc={len(n3)} oc_shape={len(n4)}")
+    to_dev = lambda t: jax.tree.map(jnp.asarray, t)
+    nets = (main_od, stud_od, main_oc, stud_oc)
+    variables = tuple(to_dev(v) for v in (v_od, v_od_shape, v_oc, v_oc_shape))
+    return nets, variables
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasetTrain", nargs="+", type=int, default=[1, 2, 3])
+    p.add_argument("--datasetTest", nargs="+", type=int, default=[4])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--data-dir", default="./dataset/")
+    p.add_argument("--model-file", required=True)
+    p.add_argument("--out", default="./vis_out")
+    p.add_argument("--dataset", type=str, default="fundus")
+    p.add_argument("--algorithm", type=str, default="WT_PSE")
+    p.add_argument("--label", type=str, default="OD")
+    p.add_argument("--save-images", action="store_true",
+                   help="write contour overlays (original_image/ + overlay/)")
+    p.add_argument("configs", nargs="*")
+    args, left = p.parse_known_args(argv)
+
+    hparams = default_hparams(args.algorithm, args.dataset)
+    yamls = [c for c in ["config.yaml"] + list(args.configs) if os.path.exists(c)]
+    hparams = load_config(hparams, yamls, left)
+
+    n_classes = 1 if args.label in ("OC", "OD") else 2
+    nets, variables = build_networks_from_torch_ckpt(
+        args.model_file, hparams, n_classes)
+    predict_fn = make_predict_fn(*nets)
+
+    domain = load_fundus(args.data_dir, "test", args.datasetTest, state="prediction")
+    od_masks, oc_masks = [], []
+    for lab in domain.labels:
+        od, oc = encode_masks(np.asarray(lab, np.uint8))
+        od_masks.append(od)
+        oc_masks.append(oc)
+
+    res = evaluate_domain(predict_fn, variables, domain.images, od_masks, oc_masks,
+                          args.label, args.batch_size)
+    print({k: round(v, 4) for k, v in res.items()})
+
+    if args.save_images:
+        for i in range(len(domain.images)):
+            img = jnp.asarray(domain.images[i : i + 1].astype(np.float32) / 127.5 - 1)
+            out_od, out_oc = predict_fn(*variables, img)
+            hw = od_masks[i].shape[-2:]
+            od_l = np.asarray(resize_bilinear(out_od, hw))[0, ..., 0]
+            oc_l = np.asarray(resize_bilinear(out_oc, hw))[0, ..., 0]
+            pred = np.stack([
+                postprocess_logits(oc_l[None], label=args.label)[0],
+                postprocess_logits(od_l[None], label=args.label)[0]])
+            gt = np.stack([oc_masks[i], od_masks[i]])
+            from wt_pse_tpu.models.layers import resize_bilinear as _rb
+            native_img = np.asarray(_rb(
+                jnp.asarray(domain.images[i : i + 1], jnp.float32), hw))[0]
+            save_per_img(native_img.astype(np.uint8), args.out, str(i + 1), pred, gt)
+    return res
+
+
+if __name__ == "__main__":
+    main()

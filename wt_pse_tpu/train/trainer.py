@@ -1,0 +1,188 @@
+"""The training orchestrator.
+
+Reproduces ``Trainer`` (``/root/reference/Trainer.py:58-1060``) with the TPU-native
+execution model:
+
+- the whole train split lives in device HBM; each iteration is ONE compiled XLA
+  program (sample -> augment -> 4-phase update) driven by a PRNG key — no host
+  batch assembly (reference: ``get_multi_batch`` + ``.cuda()`` per iteration,
+  Trainer.py:29-55), no per-loss ``.item()`` syncs (Trainer.py:788-798; metrics are
+  fetched asynchronously once per log interval);
+- ``iter_per_epoch = total_samples // batch_size`` (Trainer.py:1011-1015);
+- validation every ``interval_validate`` epochs, only when ``epoch > 2``
+  (Trainer.py:1048 — replicated faithfully);
+- best-model selection keyed by ``label`` (OD -> disc Dice, OC -> cup,
+  None -> mean; Trainer.py:269-274), checkpoint + ``score.txt`` on new best;
+- returns ``[best_cup_dice, best_cup_hd, best_cup_asd, best_disc_dice,
+  best_disc_hd, best_disc_asd]`` (Trainer.py:1006-1060).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wt_pse_tpu.data.augment import make_device_batch_fn
+from wt_pse_tpu.data.fundus import FundusDomain, encode_masks
+from wt_pse_tpu.io.checkpoint import save_ensemble
+from wt_pse_tpu.models.common import ModelConfig
+from wt_pse_tpu.models.shape_prior import ShapeStudent
+from wt_pse_tpu.models.wt_pse import WTPSE
+from wt_pse_tpu.train.eval import evaluate_domain, make_predict_fn
+from wt_pse_tpu.train.state import init_ensemble
+from wt_pse_tpu.train.step import StepConfig, make_train_step
+from wt_pse_tpu.utils.logging import RunLogger
+
+
+def stack_domains(domains: list[FundusDomain]) -> dict:
+    """Pad per-domain pools to a common N and stack into HBM-resident arrays."""
+    nmax = max(len(d) for d in domains)
+    imgs, labs, sizes = [], [], []
+    for d in domains:
+        n = len(d)
+        pad = nmax - n
+        im = d.images
+        lb = d.labels
+        if pad:
+            im = np.concatenate([im, np.zeros((pad,) + im.shape[1:], im.dtype)])
+            lb = np.concatenate([lb, np.zeros((pad,) + lb.shape[1:], lb.dtype)])
+        imgs.append(im)
+        labs.append(lb)
+        sizes.append(n)
+    return {
+        "images": jnp.asarray(np.stack(imgs)),
+        "labels": jnp.asarray(np.stack(labs)),
+        "sizes": jnp.asarray(np.array(sizes, np.int32)),
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        hparams: dict,
+        train_domains: list[FundusDomain],
+        val_domain: FundusDomain,
+        out_dir: str,
+        label: str | None = "OD",
+        batch_size: int = 9,
+        max_epoch: int = 200,
+        stop_epoch: int | None = None,
+        interval_validate: int = 10,
+        lr_od: float = 5e-4,
+        lr_od_shape: float = 5e-4,
+        lr_oc: float = 5e-4,
+        lr_oc_shape: float = 5e-4,
+        seed: int = 1,
+        replicate_ref_quirks: bool = True,
+        eval_batch_size: int = 8,
+        image_size: int = 256,
+    ):
+        self.hparams = dict(hparams)
+        self.label = label
+        self.out = out_dir
+        self.logger = RunLogger(out_dir)
+        self.max_epoch = max_epoch
+        self.stop_epoch = stop_epoch if stop_epoch is not None else max_epoch
+        self.interval_validate = interval_validate
+        self.eval_batch_size = eval_batch_size
+
+        self.domain_num = len(train_domains)
+        self.per_domain_batch = batch_size // self.domain_num
+        self.batch_size = batch_size
+        total = sum(len(d) for d in train_domains)
+        self.iter_per_epoch = max(total // batch_size, 1)
+
+        n_classes = 1 if label in ("OC", "OD") else 2
+        cfg = ModelConfig.from_hparams(self.hparams, n_classes=n_classes)
+        self.cfg = cfg
+        self.main_od, self.stud_od = WTPSE(cfg), ShapeStudent(cfg)
+        self.main_oc, self.stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+
+        key = jax.random.PRNGKey(seed)
+        self.init_key, self.run_key = jax.random.split(key)
+        img_shape = (batch_size, image_size, image_size, 3)
+        self.state, self.txs = init_ensemble(
+            self.main_od, self.stud_od, self.main_oc, self.stud_oc, img_shape,
+            self.init_key, lr_od, lr_od_shape, lr_oc, lr_oc_shape)
+
+        self.data = stack_domains(train_domains)
+        step_cfg = StepConfig(self.hparams, self.domain_num, self.per_domain_batch,
+                              replicate_ref_quirks)
+        batch_fn = make_device_batch_fn(self.per_domain_batch)
+        train_step = make_train_step(self.main_od, self.stud_od, self.main_oc,
+                                     self.stud_oc, self.txs, step_cfg)
+
+        def fused(state, data, key):
+            kb, ks = jax.random.split(key)
+            batch = batch_fn(data, kb)
+            return train_step(state, batch, ks)
+
+        self.fused_step = jax.jit(fused, donate_argnums=(0,))
+        self.predict_fn = make_predict_fn(self.main_od, self.stud_od, self.main_oc,
+                                          self.stud_oc)
+
+        # eval data: encoded native-res masks per image
+        self.val_images = val_domain.images
+        self.val_od, self.val_oc = [], []
+        for lab in val_domain.labels:
+            od, oc = encode_masks(np.asarray(lab, np.uint8))
+            self.val_od.append(od)
+            self.val_oc.append(oc)
+
+        self.best = {"objective": 0.0, "epoch": -1}
+        self.best_list = [0.0] * 6
+        self.epoch = 0
+        self.lr_od = lr_od
+
+    # ------------------------------------------------------------------
+
+    def validate(self) -> dict:
+        variables = (
+            self.state.od.variables, self.state.od_shape.variables,
+            self.state.oc.variables, self.state.oc_shape.variables)
+        return evaluate_domain(self.predict_fn, variables, self.val_images,
+                               self.val_od, self.val_oc, self.label,
+                               self.eval_batch_size)
+
+    def train(self) -> list[float]:
+        for epoch in range(self.epoch, self.max_epoch):
+            self.epoch = epoch
+            t0 = time.time()
+            metrics = {}
+            for it in range(self.iter_per_epoch):
+                step_key = jax.random.fold_in(
+                    self.run_key, epoch * self.iter_per_epoch + it)
+                self.state, metrics = self.fused_step(self.state, self.data, step_key)
+            # one host sync per epoch for the log line
+            metrics = {k: float(v) for k, v in metrics.items()}
+            self.logger.scalars(epoch, metrics)
+            self.logger.csv_row(epoch, (epoch + 1) * self.iter_per_epoch,
+                                metrics.get("loss_seg", 0.0))
+            self.logger.epoch_summary(
+                epoch, self.lr_od, metrics.get("loss_seg_oc", 0.0),
+                metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
+                metrics.get("loss_dom_wt_oc", 0.0), time.time() - t0)
+            if not np.isfinite(metrics.get("loss_seg", 0.0)):
+                raise ValueError("loss is nan while training")  # Trainer.py:799-800
+
+            if self.stop_epoch == epoch:
+                print(f"Stop epoch at {self.stop_epoch}")
+                break
+
+            if (epoch + 1) % self.interval_validate == 0 and epoch > 2:
+                print("-" * 10, "start to validate", "-" * 10)
+                val = self.validate()
+                self.logger.scalars(epoch, {f"val/{k}": v for k, v in val.items()})
+                if val["objective"] > self.best["objective"]:
+                    self.best = {"objective": val["objective"], "epoch": epoch + 1}
+                    self.best_list = [val["cup_dice"], val["cup_hd"], val["cup_asd"],
+                                      val["disc_dice"], val["disc_hd"], val["disc_asd"]]
+                    self.logger.best_score(val)
+                    save_ensemble(
+                        os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
+        return list(self.best_list)

@@ -1,0 +1,61 @@
+"""Run-directory observability: CSV scalars, best-score file, stdout summaries.
+
+Keeps the reference's artifact surface (``/root/reference/Trainer.py:105-122,
+279-281``): ``log.csv`` (same header — and unlike the reference, actually appended
+to), ``score.txt`` on each new best, plus a ``metrics.jsonl`` stream with every
+scalar the jitted step returns (the tensorboardX equivalent; one JSON line per
+logging interval is greppable and needs no extra deps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+LOG_HEADERS = [
+    "epoch", "iteration", "train/loss_seg", "train/cup_dice", "train/disc_dice",
+    "valid/loss_CE", "valid/cup_dice", "valid/disc_dice", "elapsed_time",
+]
+
+
+class RunLogger:
+    def __init__(self, out_dir: str):
+        self.out = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.t0 = time.time()
+        self.csv_path = os.path.join(out_dir, "log.csv")
+        if not os.path.exists(self.csv_path):
+            with open(self.csv_path, "w") as f:
+                f.write(",".join(LOG_HEADERS) + "\n")
+        self.jsonl_path = os.path.join(out_dir, "metrics.jsonl")
+
+    def scalars(self, step: int, payload: dict):
+        rec = {"step": step, "t": round(time.time() - self.t0, 3)}
+        rec.update({k: float(v) for k, v in payload.items()})
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def csv_row(self, epoch: int, iteration: int, loss_seg: float,
+                val: dict | None = None):
+        row = [epoch, iteration, round(loss_seg, 6), "", "",
+               "", "" if val is None else round(val.get("cup_dice", 0), 6),
+               "" if val is None else round(val.get("disc_dice", 0), 6),
+               round(time.time() - self.t0, 1)]
+        with open(self.csv_path, "a") as f:
+            f.write(",".join(str(x) for x in row) + "\n")
+
+    def best_score(self, val: dict):
+        """score.txt appended on each new best (Trainer.py:279-281 format)."""
+        with open(os.path.join(self.out, "score.txt"), "a") as f:
+            f.write(
+                "cd:{} dd:{} c_hd:{} d_hd:{} c_asd:{} d_asd:{}\n".format(
+                    val["cup_dice"], val["disc_dice"], val["cup_hd"],
+                    val["disc_hd"], val["cup_asd"], val["disc_asd"]))
+
+    def epoch_summary(self, epoch: int, lr: float, seg_oc: float, kd_oc: float,
+                      ins_oc: float, dom_oc: float, seconds: float):
+        print(
+            f"\n[Epoch: {epoch}] lr:{lr:.6f},  Average segLoss: {seg_oc:.6f}, "
+            f"Average kl: {kd_oc:.6f},Average ins wt: {ins_oc:.6f},"
+            f"Average dom wt: {dom_oc:.6f}, Execution time: {seconds:.5f}")
