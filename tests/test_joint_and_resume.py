@@ -1,0 +1,82 @@
+"""Joint-shape-regularization algorithm dispatch + checkpoint resume."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from wt_pse_tpu.config import default_hparams
+from wt_pse_tpu.data.fundus import load_fundus
+
+SIZE = 48
+
+
+@pytest.fixture(scope="module")
+def fundus_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fundus_joint"))
+    rng = np.random.RandomState(0)
+    for dom, phase, n in [(1, "train", 3), (2, "train", 3), (4, "train", 3),
+                          (3, "test", 2)]:
+        d = os.path.join(root, f"Domain{dom}", phase, "ROIs")
+        os.makedirs(os.path.join(d, "image"), exist_ok=True)
+        os.makedirs(os.path.join(d, "mask"), exist_ok=True)
+        prefix = {1: "gd", 2: "g", 3: "G", 4: "V"}[dom]
+        for i in range(n):
+            img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+            yy, xx = np.mgrid[0:64, 0:64]
+            mask = np.full((64, 64), 255, np.uint8)
+            mask[(yy - 32) ** 2 + (xx - 32) ** 2 < 400] = 128
+            mask[(yy - 32) ** 2 + (xx - 32) ** 2 < 100] = 0
+            Image.fromarray(img).save(os.path.join(d, "image", f"{prefix}_{i}.png"))
+            Image.fromarray(mask).save(os.path.join(d, "mask", f"{prefix}_{i}.png"))
+    return root
+
+
+def _domains(root):
+    return ([load_fundus(root, "train", [i], size=SIZE) for i in (1, 2, 4)],
+            load_fundus(root, "test", [3], state="prediction", size=SIZE))
+
+
+def test_joint_algorithm_trains(fundus_root, tmp_path):
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = default_hparams("Unet_nips2023_joint_shape_regularization")
+    assert hparams["whitening"] is False and hparams["shape_prior"] is True
+    train_doms, val_dom = _domains(fundus_root)
+    trainer = Trainer(
+        hparams=hparams, train_domains=train_doms, val_domain=val_dom,
+        out_dir=str(tmp_path / "joint"), label="OD", batch_size=3,
+        max_epoch=4, interval_validate=4, seed=1, image_size=SIZE,
+        algorithm="Unet_nips2023_joint_shape_regularization",
+    )
+    best = trainer.train()
+    assert len(best) == 6
+    lines = open(os.path.join(str(tmp_path / "joint"), "metrics.jsonl")).readlines()
+    import json
+
+    rec = json.loads(lines[0])
+    assert np.isfinite(rec["loss_seg"]) and np.isfinite(rec["loss_seg_oc"])
+    assert "loss_kd" not in rec  # no distillation phases in the joint variant
+
+
+def test_resume_roundtrip(fundus_root, tmp_path):
+    from wt_pse_tpu.io.checkpoint import save_ensemble
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = default_hparams("WT_PSE")
+    train_doms, val_dom = _domains(fundus_root)
+    kw = dict(hparams=hparams, train_domains=train_doms, val_domain=val_dom,
+              label="OD", batch_size=3, max_epoch=2, interval_validate=99,
+              seed=1, image_size=SIZE)
+    t1 = Trainer(out_dir=str(tmp_path / "a"), **kw)
+    t1.train()
+    ck = str(tmp_path / "a" / "manual_ck")
+    save_ensemble(ck, t1.state)
+    assert int(t1.state.step) == 2 * t1.iter_per_epoch
+
+    t2 = Trainer(out_dir=str(tmp_path / "b"), resume=ck, **kw)
+    assert t2.epoch == 2  # resumes past the trained epochs
+    a = np.asarray(__import__("jax").tree.leaves(t1.state.od.params)[0])
+    b = np.asarray(__import__("jax").tree.leaves(t2.state.od.params)[0])
+    np.testing.assert_array_equal(a, b)

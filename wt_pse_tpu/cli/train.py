@@ -73,6 +73,10 @@ def main(args=None, left_argv=None):
         hparams = load_config(hparams, yamls, left_argv or [])
 
         seed_initialization(args.seed + run_idx)
+        if run_idx == 0:
+            from wt_pse_tpu.utils.snapshot import save_code
+
+            save_code(out_root, hparams)
 
         train_domains = load_train_domains(args.data_dir, args.datasetTrain)
         val_domain = load_fundus(args.data_dir, "test", args.datasetTest,
@@ -93,6 +97,8 @@ def main(args=None, left_argv=None):
             lr_oc=args.lr_oc,
             lr_oc_shape=args.lr_oc_shape,
             seed=args.seed + run_idx,
+            resume=args.resume if run_idx == 0 else None,
+            algorithm=args.algorithm,
         )
         best = trainer.train()
         for key, value in zip(result.keys(), best):

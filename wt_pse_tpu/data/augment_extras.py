@@ -153,3 +153,59 @@ def center_crop(img: jax.Array, size: int) -> jax.Array:
     top = (h - size) // 2
     left = (w - size) // 2
     return img[top : top + size, left : left + size]
+
+
+# ---------------------------------------------------------------------------
+# Vestigial label/domain-code helpers (reference inventory completeness)
+# ---------------------------------------------------------------------------
+
+
+def to_multilabel(pre_mask, classes: int = 2):
+    """fundus_dataloader.py:10-14: 1 -> [0,1] (disc only), 2 -> [1,1] (cup+disc)."""
+    import numpy as np
+
+    mask = np.zeros((pre_mask.shape[0], pre_mask.shape[1], classes))
+    mask[pre_mask == 1] = [0, 1]
+    mask[pre_mask == 2] = [1, 1]
+    return mask
+
+
+def domain_code_one_hot(dc: int, num: int = 3):
+    """custom_transforms.ToMultiLabel (559-564)."""
+    import numpy as np
+
+    out = np.zeros([num])
+    out[dc] = 1
+    return out
+
+
+def soft_label(key, label):
+    """custom_transforms.SoftLable (566-579): jitter the one-hot domain code into
+    a random soft distribution with the hot entry in [0.8, 1.0]. Device-side
+    equivalent with an explicit key; used only by the (vestigial) domain-code
+    pathway."""
+    k1, k2 = jax.random.split(key)
+    label = jnp.asarray(label, jnp.float32)
+    hot = jnp.argmax(label)
+    main = 0.8 + jax.random.uniform(k1) * 0.2
+    rest = jax.random.uniform(k2, label.shape)
+    rest = rest * (label == 0)
+    rest = rest / jnp.maximum(rest.sum(), 1e-9) * (1.0 - main)
+    return rest.at[hot].set(main)
+
+
+def fixed_resize(img: jax.Array, size: int) -> jax.Array:
+    """FixedResize/Scale/ResizeImg family: plain bilinear square resize."""
+    from wt_pse_tpu.models.layers import resize_bilinear
+
+    return resize_bilinear(img[None], (size, size))[0]
+
+
+def normalize_mean_std(img: jax.Array, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)):
+    """custom_transforms.Normalize (413-432): /255, -mean, /std."""
+    return (img / 255.0 - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+def normalize_cityscapes(img: jax.Array, mean=(0.0, 0.0, 0.0)):
+    """custom_transforms.Normalize_cityscapes (540-557): -mean, /255."""
+    return (img - jnp.asarray(mean)) / 255.0

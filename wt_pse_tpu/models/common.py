@@ -23,10 +23,15 @@ class ModelConfig:
     shape_attention_coeffient: float = 0.3
     whitening: bool = True
     bn_axis_name: str | None = None
+    # 'float32' (reference-parity; HIGHEST-precision convs) or 'bfloat16'
+    # (mixed-precision training: bf16 conv compute on the MXU, f32 params,
+    # f32 BN statistics and losses) — set via hparam `compute_dtype`
+    compute_dtype: str | None = None
 
     @classmethod
     def from_hparams(cls, hparams: dict, n_channels: int = 3, n_classes: int = 1,
                      bn_axis_name: str | None = None) -> "ModelConfig":
+        dtype = hparams.get("compute_dtype", None)
         return cls(
             n_channels=n_channels,
             n_classes=n_classes,
@@ -36,6 +41,7 @@ class ModelConfig:
             shape_attention_coeffient=float(hparams.get("shape_attention_coeffient", 0.3)),
             whitening=bool(hparams.get("whitening", True)),
             bn_axis_name=bn_axis_name,
+            compute_dtype=None if dtype in (None, "float32") else str(dtype),
         )
 
 

@@ -23,11 +23,12 @@ from wt_pse_tpu.models.layers import DoubleConvWT
 class DeepWT(nn.Module):
     features: int = 16
     whitening: bool = True
+    dtype: str | None = None
 
     def setup(self):
         if self.whitening:
-            self.DoubleConv = DoubleConvWT(self.features)
-            self.DoubleConv2 = DoubleConvWT(self.features)
+            self.DoubleConv = DoubleConvWT(self.features, dtype=self.dtype)
+            self.DoubleConv2 = DoubleConvWT(self.features, dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         if not self.whitening:

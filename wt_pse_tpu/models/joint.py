@@ -41,21 +41,22 @@ class JointShapeReg(nn.Module):
         cfg = self.cfg
         n = cfg.base_width
         ax = cfg.bn_axis_name
-        self.wt_model = DeepWT(n, whitening=cfg.whitening)
-        self.inc = ConvD(n, first=True, bn_axis_name=ax)
-        self.down1 = ConvD(2 * n, bn_axis_name=ax)
-        self.down2 = ConvD(4 * n, bn_axis_name=ax)
-        self.down3 = ConvD(8 * n, bn_axis_name=ax)
-        self.down4 = ConvD(16 * n, bn_axis_name=ax)
-        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax)
-        self.up2 = ConvU(8 * n, bn_axis_name=ax)
-        self.up3 = ConvU(4 * n, bn_axis_name=ax)
-        self.up4 = ConvU(2 * n, bn_axis_name=ax)
+        dt = cfg.compute_dtype
+        self.wt_model = DeepWT(n, whitening=cfg.whitening, dtype=dt)
+        self.inc = ConvD(n, first=True, bn_axis_name=ax, dtype=dt)
+        self.down1 = ConvD(2 * n, bn_axis_name=ax, dtype=dt)
+        self.down2 = ConvD(4 * n, bn_axis_name=ax, dtype=dt)
+        self.down3 = ConvD(8 * n, bn_axis_name=ax, dtype=dt)
+        self.down4 = ConvD(16 * n, bn_axis_name=ax, dtype=dt)
+        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax, dtype=dt)
+        self.up2 = ConvU(8 * n, bn_axis_name=ax, dtype=dt)
+        self.up3 = ConvU(4 * n, bn_axis_name=ax, dtype=dt)
+        self.up4 = ConvU(2 * n, bn_axis_name=ax, dtype=dt)
         if cfg.shape_prior:
             # x-conditioned prior: same topology as the student shape net
             self.prior_dist = ShapeStudent(cfg)
-        self.mu = ConvStack1x1([2 * n, cfg.feature_dim])
-        self.outc = ConvStack1x1([cfg.n_classes])
+        self.mu = ConvStack1x1([2 * n, cfg.feature_dim], dtype=dt)
+        self.outc = ConvStack1x1([cfg.n_classes], dtype=dt)
         self.attention_layer = AttentionLayer(1)
 
     def embed(self, inputs: jax.Array, train: bool) -> jax.Array:
@@ -73,9 +74,12 @@ class JointShapeReg(nn.Module):
             fused = jnp.concatenate([fused, z], axis=-1)
         return fused, att
 
-    def __call__(self, inputs, wt_inputs, train: bool = True):
+    def __call__(self, inputs, mask, wt_inputs, train: bool = True):
         """Training forward (reference .update() semantics minus the dead paths).
+        ``mask`` is accepted for signature parity with WTPSE and ignored — the
+        joint prior is x-conditioned only (algorithms.py:1473 passes mask=None).
         Returns (logits, attention>0.75 mask or None, wt feature list or None)."""
+        del mask
         embedding = self.embed(inputs, train)
         att_mask = None
         wt_feats = None
@@ -101,5 +105,5 @@ class JointShapeReg(nn.Module):
             embedding, _ = self._fuse(embedding, z)
         return self.outc(embedding)
 
-    def initialize(self, inputs):
-        return self(inputs, inputs, train=False)
+    def initialize(self, inputs, mask):
+        return self(inputs, mask, inputs, train=False)

@@ -90,21 +90,25 @@ class BatchNorm(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def conv3x3(features: int, name: str | None = None) -> nn.Conv:
-    """3x3 same-padding conv with bias (reference convs are all bias=True).
+def _conv_kwargs(dtype):
+    """f32 mode pins HIGHEST precision (the ambient default can be bf16-ish — the
+    axon runtime lowers the global default — and checkpoint-parity eval needs true
+    f32). bf16 mode computes natively in bf16 on the MXU (params stay f32;
+    flax casts per-call)."""
+    if dtype is None or dtype == "float32":
+        return dict(dtype=None, precision=jax.lax.Precision.HIGHEST)
+    return dict(dtype=jnp.dtype(dtype), precision=None)
 
-    Precision is pinned to HIGHEST: the ambient default can be bf16-ish (the axon
-    runtime lowers the global default), and checkpoint-parity eval needs true f32.
-    bf16 *training* is expressed by casting activations/params, not by lowering
-    accumulation precision.
-    """
+
+def conv3x3(features: int, name: str | None = None, dtype=None) -> nn.Conv:
+    """3x3 same-padding conv with bias (reference convs are all bias=True)."""
     return nn.Conv(features, (3, 3), padding=1, use_bias=True, name=name,
-                   precision=jax.lax.Precision.HIGHEST)
+                   **_conv_kwargs(dtype))
 
 
-def conv1x1(features: int, name: str | None = None) -> nn.Conv:
+def conv1x1(features: int, name: str | None = None, dtype=None) -> nn.Conv:
     return nn.Conv(features, (1, 1), padding=0, use_bias=True, name=name,
-                   precision=jax.lax.Precision.HIGHEST)
+                   **_conv_kwargs(dtype))
 
 
 def max_pool_2x2(x: jax.Array) -> jax.Array:
@@ -179,17 +183,18 @@ class ConvD(nn.Module):
     planes: int
     first: bool = False
     bn_axis_name: str | None = None
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if not self.first:
             x = max_pool_2x2(x)
-        x = conv3x3(self.planes, name="conv1")(x)
+        x = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x)
         x = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn1")(x, train)
-        y = conv3x3(self.planes, name="conv2")(x)
+        y = conv3x3(self.planes, name="conv2", dtype=self.dtype)(x)
         y = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn2")(y, train)
         y = nn.relu(y)
-        z = conv3x3(self.planes, name="conv3")(y)
+        z = conv3x3(self.planes, name="conv3", dtype=self.dtype)(y)
         z = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn3")(z, train)
         return nn.relu(z)
 
@@ -208,20 +213,21 @@ class ConvU(nn.Module):
     planes: int
     first: bool = False
     bn_axis_name: str | None = None
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, prev: jax.Array, train: bool) -> jax.Array:
         p = self.planes
         if not self.first:
-            x = conv3x3(p, name="conv1")(x)
+            x = conv3x3(p, name="conv1", dtype=self.dtype)(x)
             x = BatchNorm(p, axis_name=self.bn_axis_name, name="bn1")(x, train)
             x = nn.relu(x)
         y = upsample2x_bilinear(x)
-        y = conv1x1(p // 2, name="conv2")(y)
+        y = conv1x1(p // 2, name="conv2", dtype=self.dtype)(y)
         y = BatchNorm(p // 2, axis_name=self.bn_axis_name, name="bn2")(y, train)
         y = nn.relu(y)
-        y = jnp.concatenate([prev, y], axis=-1)
-        y = conv3x3(p, name="conv3")(y)
+        y = jnp.concatenate([prev.astype(y.dtype), y], axis=-1)
+        y = conv3x3(p, name="conv3", dtype=self.dtype)(y)
         y = BatchNorm(p, axis_name=self.bn_axis_name, name="bn3")(y, train)
         return nn.relu(y)
 
@@ -231,13 +237,14 @@ class DoubleConv(nn.Module):
 
     features: int
     bn_axis_name: str | None = None
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = conv3x3(self.features, name="conv1")(x)
+        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x)
         x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn1")(x, train)
         x = nn.relu(x)
-        x = conv3x3(self.features, name="conv2")(x)
+        x = conv3x3(self.features, name="conv2", dtype=self.dtype)(x)
         x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn2")(x, train)
         return nn.relu(x)
 
@@ -249,12 +256,13 @@ class DoubleConvWT(nn.Module):
     """
 
     features: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = conv3x3(self.features, name="conv1")(x)
+        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        return conv3x3(self.features, name="conv2")(x)
+        return conv3x3(self.features, name="conv2", dtype=self.dtype)(x)
 
 
 class ConvStack1x1(nn.Module):
@@ -264,13 +272,14 @@ class ConvStack1x1(nn.Module):
     """
 
     features: Sequence[int]
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, f in enumerate(self.features):
             if i > 0:
                 x = nn.relu(x)
-            x = conv1x1(f, name=f"c{i}")(x)
+            x = conv1x1(f, name=f"c{i}", dtype=self.dtype)(x)
         return x
 
 
@@ -284,3 +293,19 @@ class AttentionLayer(nn.Module):
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         logits = conv1x1(self.features, name="layer1")(x)
         return jax.nn.sigmoid(logits), logits
+
+
+class InstanceWhitening(nn.Module):
+    """Parameter-free instance standardization (torch ``nn.InstanceNorm2d(dim,
+    affine=False)`` parity) — the reference defines this module inside DeepWT but
+    comments it out of the datapath (``/root/reference/algorithms.py:965-975,
+    1101-1108``). Provided for pipelines that re-enable it.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -47,21 +47,22 @@ class TeacherShapePrior(nn.Module):
     def setup(self):
         n = self.cfg.base_width
         ax = self.cfg.bn_axis_name
+        dt = self.cfg.compute_dtype
         if self.cfg.whitening:
-            self.inc = DoubleConv(n, bn_axis_name=ax)
-            self.fusion = ConvStack1x1([n])
+            self.inc = DoubleConv(n, bn_axis_name=ax, dtype=dt)
+            self.fusion = ConvStack1x1([n], dtype=dt)
         else:
-            self.inc = DoubleConv(n, bn_axis_name=ax)
-        self.down1 = ConvD(2 * n, bn_axis_name=ax)
-        self.down2 = ConvD(4 * n, bn_axis_name=ax)
-        self.down3 = ConvD(8 * n, bn_axis_name=ax)
-        self.down4 = ConvD(16 * n, bn_axis_name=ax)
-        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax)
-        self.up2 = ConvU(8 * n, bn_axis_name=ax)
-        self.up3 = ConvU(4 * n, bn_axis_name=ax)
-        self.up4 = ConvU(2 * n, bn_axis_name=ax)
-        self.mu_prior = ConvStack1x1([2 * n, 8, 1])
-        self.logvar_prior = ConvStack1x1([2 * n, 8, 1])
+            self.inc = DoubleConv(n, bn_axis_name=ax, dtype=dt)
+        self.down1 = ConvD(2 * n, bn_axis_name=ax, dtype=dt)
+        self.down2 = ConvD(4 * n, bn_axis_name=ax, dtype=dt)
+        self.down3 = ConvD(8 * n, bn_axis_name=ax, dtype=dt)
+        self.down4 = ConvD(16 * n, bn_axis_name=ax, dtype=dt)
+        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax, dtype=dt)
+        self.up2 = ConvU(8 * n, bn_axis_name=ax, dtype=dt)
+        self.up3 = ConvU(4 * n, bn_axis_name=ax, dtype=dt)
+        self.up4 = ConvU(2 * n, bn_axis_name=ax, dtype=dt)
+        self.mu_prior = ConvStack1x1([2 * n, 8, 1], dtype=dt)
+        self.logvar_prior = ConvStack1x1([2 * n, 8, 1], dtype=dt)
 
     def extract(self, inputs: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
         if self.cfg.whitening:
@@ -108,19 +109,20 @@ class ShapeStudent(nn.Module):
     def setup(self):
         n = self.cfg.base_width
         ax = self.cfg.bn_axis_name
-        self.wt_model = DeepWT(n, whitening=self.cfg.whitening)
+        dt = self.cfg.compute_dtype
+        self.wt_model = DeepWT(n, whitening=self.cfg.whitening, dtype=dt)
         if not self.cfg.whitening:
-            self.inc = DoubleConv(n, bn_axis_name=ax)
-        self.down1 = ConvD(2 * n, bn_axis_name=ax)
-        self.down2 = ConvD(4 * n, bn_axis_name=ax)
-        self.down3 = ConvD(8 * n, bn_axis_name=ax)
-        self.down4 = ConvD(16 * n, bn_axis_name=ax)
-        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax)
-        self.up2 = ConvU(8 * n, bn_axis_name=ax)
-        self.up3 = ConvU(4 * n, bn_axis_name=ax)
-        self.up4 = ConvU(2 * n, bn_axis_name=ax)
-        self.mu_prior = ConvStack1x1([2 * n, 8, 1])
-        self.logvar_prior = ConvStack1x1([2 * n, 8, 1])
+            self.inc = DoubleConv(n, bn_axis_name=ax, dtype=dt)
+        self.down1 = ConvD(2 * n, bn_axis_name=ax, dtype=dt)
+        self.down2 = ConvD(4 * n, bn_axis_name=ax, dtype=dt)
+        self.down3 = ConvD(8 * n, bn_axis_name=ax, dtype=dt)
+        self.down4 = ConvD(16 * n, bn_axis_name=ax, dtype=dt)
+        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax, dtype=dt)
+        self.up2 = ConvU(8 * n, bn_axis_name=ax, dtype=dt)
+        self.up3 = ConvU(4 * n, bn_axis_name=ax, dtype=dt)
+        self.up4 = ConvU(2 * n, bn_axis_name=ax, dtype=dt)
+        self.mu_prior = ConvStack1x1([2 * n, 8, 1], dtype=dt)
+        self.logvar_prior = ConvStack1x1([2 * n, 8, 1], dtype=dt)
 
     def wt_forward(self, x: jax.Array) -> list[jax.Array]:
         """Run only the DeepWT front-end (used by WT_PSE.predict at eval,

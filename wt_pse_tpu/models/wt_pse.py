@@ -35,24 +35,25 @@ class WTPSE(nn.Module):
         cfg = self.cfg
         n = cfg.base_width
         ax = cfg.bn_axis_name
-        self.wt_model = DeepWT(n, whitening=cfg.whitening)
-        self.inc = ConvD(n, first=True, bn_axis_name=ax)
-        self.down1 = ConvD(2 * n, bn_axis_name=ax)
-        self.down2 = ConvD(4 * n, bn_axis_name=ax)
-        self.down3 = ConvD(8 * n, bn_axis_name=ax)
-        self.down4 = ConvD(16 * n, bn_axis_name=ax)
-        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax)
-        self.up2 = ConvU(8 * n, bn_axis_name=ax)
-        self.up3 = ConvU(4 * n, bn_axis_name=ax)
-        self.up4 = ConvU(2 * n, bn_axis_name=ax)
+        dt = cfg.compute_dtype
+        self.wt_model = DeepWT(n, whitening=cfg.whitening, dtype=dt)
+        self.inc = ConvD(n, first=True, bn_axis_name=ax, dtype=dt)
+        self.down1 = ConvD(2 * n, bn_axis_name=ax, dtype=dt)
+        self.down2 = ConvD(4 * n, bn_axis_name=ax, dtype=dt)
+        self.down3 = ConvD(8 * n, bn_axis_name=ax, dtype=dt)
+        self.down4 = ConvD(16 * n, bn_axis_name=ax, dtype=dt)
+        self.up1 = ConvU(16 * n, first=True, bn_axis_name=ax, dtype=dt)
+        self.up2 = ConvU(8 * n, bn_axis_name=ax, dtype=dt)
+        self.up3 = ConvU(4 * n, bn_axis_name=ax, dtype=dt)
+        self.up4 = ConvU(2 * n, bn_axis_name=ax, dtype=dt)
         if cfg.shape_prior:
             self.prior_dist = TeacherShapePrior(cfg)
             feature_dim_fuse = cfg.feature_dim + 1 if cfg.cat_shape else cfg.feature_dim
         else:
             feature_dim_fuse = cfg.feature_dim
         del feature_dim_fuse  # outc infers its input width from the fused embedding
-        self.mu = ConvStack1x1([2 * n, cfg.feature_dim])
-        self.outc = ConvStack1x1([cfg.n_classes])
+        self.mu = ConvStack1x1([2 * n, cfg.feature_dim], dtype=dt)
+        self.outc = ConvStack1x1([cfg.n_classes], dtype=dt)
         self.attention_layer = AttentionLayer(1)
 
     # -- shared pieces -----------------------------------------------------

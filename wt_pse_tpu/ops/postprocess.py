@@ -48,3 +48,16 @@ def postprocess_logits(logits_chw: np.ndarray, threshold: float = 0.75,
     else:
         out[0] = largest_component_fill_holes(out[0])
     return out
+
+
+def postprocess_probs_drishti(probs_chw: np.ndarray) -> np.ndarray:
+    """utils.postprocessing 'D'-dataset branch (utils.py:279-297): inputs are
+    already probabilities; disc = channel 1 > 0.5, cup = channel 0 > 0.1, each
+    cleaned with LCC + fill-holes."""
+    probs = np.asarray(probs_chw)
+    out = np.copy(probs)
+    disc = (probs[1] > 0.5).astype(np.uint8)
+    cup = (probs[0] > 0.1).astype(np.uint8)
+    out[0] = largest_component_fill_holes(cup)
+    out[1] = largest_component_fill_holes(disc)
+    return out

@@ -101,7 +101,7 @@ def domain_mmd(vectors: jax.Array, domain_num: int, per_domain_batch: int) -> ja
 
 def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
                           margin: float = 0.0, axis_name: str | None = None,
-                          axis_size: int = 1):
+                          axis_size: int = 1, cov_fn=None):
     """One feature map -> (off_term, diag_term, domain_term).
 
     Under ``shard_map`` data parallelism (``axis_name`` set), the local batch holds
@@ -112,7 +112,7 @@ def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
     Instance terms stay local: combined with the gradient ``pmean`` they equal the
     global-batch loss exactly (equal shards).
     """
-    cov = feature_covariance(z)
+    cov = (cov_fn or feature_covariance)(z)
     off_term, diag_term = instance_whitening_terms(cov, margin)
     vec = upper_triangle_vectors(cov)
     pdb = per_domain_batch
@@ -128,7 +128,8 @@ def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
 
 def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
                         margin: float = 0.0, replicate_ref_quirks: bool = True,
-                        axis_name: str | None = None, axis_size: int = 1):
+                        axis_name: str | None = None, axis_size: int = 1,
+                        cov_fn=None):
     """Main-net whitening loss over the DeepWT list (algorithms.py:1256-1267).
 
     Returns (instance_loss, domain_loss). Sums maps 0..len-2; divides by len
@@ -139,7 +140,7 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     dom = 0.0
     for z in wt_feats[: num - 1]:
         off_t, diag_t, dom_t = whitening_loss_single(
-            z, domain_num, per_domain_batch, margin, axis_name, axis_size)
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size, cov_fn)
         inst = inst + off_t + diag_t
         dom = dom + dom_t
     denom = num if replicate_ref_quirks else max(num - 1, 1)
@@ -148,7 +149,8 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
 
 def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
                            margin: float = 0.0, replicate_ref_quirks: bool = True,
-                           axis_name: str | None = None, axis_size: int = 1):
+                           axis_name: str | None = None, axis_size: int = 1,
+                           cov_fn=None):
     """Student-net whitening loss (shape_networks.py:537-554).
 
     Returns (inst_total, inst_offdiag, inst_diag, domain_loss) matching the
@@ -159,7 +161,7 @@ def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     offs, diags, doms = [], [], []
     for z in wt_feats[: num - 1]:
         off_t, diag_t, dom_t = whitening_loss_single(
-            z, domain_num, per_domain_batch, margin, axis_name, axis_size)
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size, cov_fn)
         offs.append(off_t)
         diags.append(diag_t)
         doms.append(dom_t)

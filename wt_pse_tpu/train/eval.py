@@ -60,6 +60,22 @@ def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
     return predict
 
 
+def make_predict_fn_joint(main_od, main_oc):
+    """Two-stage predict for the joint variant: each net uses its own prior
+    (no student network; validate_joint_shape_reg path, Trainer.py:314-490)."""
+
+    @jax.jit
+    def predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
+        del v_od_shape, v_oc_shape  # joint nets carry their prior internally
+        out_od = main_od.apply(v_od, image, method=type(main_od).predict)
+        od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
+        roi = (image + 1.0) * od_pred - 1.0
+        out_oc = main_oc.apply(v_oc, roi, method=type(main_oc).predict)
+        return out_od, out_oc * od_pred
+
+    return predict
+
+
 _resize_logits = jax.jit(resize_bilinear, static_argnums=(1,))
 
 

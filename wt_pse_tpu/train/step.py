@@ -79,6 +79,12 @@ class StepConfig:
         # domain_num * per_domain_batch; grads/stats are pmean'd over axis_name
         self.axis_name = axis_name
         self.axis_size = axis_size
+        # optional fused Pallas covariance kernel (ops/whitening_pallas.py)
+        if bool(hparams.get("use_pallas_whitening", False)):
+            from wt_pse_tpu.ops.whitening_pallas import feature_covariance_pallas
+            self.cov_fn = feature_covariance_pallas
+        else:
+            self.cov_fn = None
 
     def _pmean(self, tree):
         if self.axis_name is None:
@@ -100,7 +106,8 @@ def _seg_phase(model: WTPSE, tx, net, image, target, wt_input, seg_loss_fn,
         if cfg.whitening and wt_feats is not None:
             inst, dom = main_whitening_loss(
                 wt_feats, cfg.domain_num, cfg.per_domain_batch, cfg.margin,
-                cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size)
+                cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size,
+                cfg.cov_fn)
         else:
             inst = jnp.zeros(())
             dom = jnp.zeros(())
@@ -142,7 +149,8 @@ def _shape_phase(main: WTPSE, student: ShapeStudent, tx, main_net, stud_net,
             kd = jnp.mean(jnp.square(mu_t - mu_s))  # wasser_distance, shape_networks.py:596
             inst_total, inst_ij, inst_ii, dom = student_whitening_loss(
                 wt_feats, cfg.domain_num, cfg.per_domain_batch, cfg.margin,
-                cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size)
+                cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size,
+                cfg.cov_fn)
             total = kd + cfg.instance_wt_gm * inst_total + cfg.domain_wt_gm * dom
             return total, (smut["batch_stats"], kd, inst_total, inst_ij, inst_ii, dom)
 

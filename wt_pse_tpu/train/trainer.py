@@ -81,6 +81,8 @@ class Trainer:
         replicate_ref_quirks: bool = True,
         eval_batch_size: int = 8,
         image_size: int = 256,
+        resume: str | None = None,
+        algorithm: str = "WT_PSE",
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -100,8 +102,18 @@ class Trainer:
         n_classes = 1 if label in ("OC", "OD") else 2
         cfg = ModelConfig.from_hparams(self.hparams, n_classes=n_classes)
         self.cfg = cfg
-        self.main_od, self.stud_od = WTPSE(cfg), ShapeStudent(cfg)
-        self.main_oc, self.stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+        self.algorithm = algorithm
+        if algorithm == "Unet_nips2023_joint_shape_regularization":
+            # joint variant: same trunk, x-conditioned prior, no distillation
+            # (dispatch parity with Trainer.py:1032-1035)
+            from wt_pse_tpu.models.joint import JointShapeReg
+
+            self.main_od = JointShapeReg(cfg)
+            self.main_oc = JointShapeReg(cfg, two_step=True)
+        else:
+            self.main_od = WTPSE(cfg)
+            self.main_oc = WTPSE(cfg, two_step=True)
+        self.stud_od, self.stud_oc = ShapeStudent(cfg), ShapeStudent(cfg)
 
         key = jax.random.PRNGKey(seed)
         self.init_key, self.run_key = jax.random.split(key)
@@ -123,8 +135,13 @@ class Trainer:
             return train_step(state, batch, ks)
 
         self.fused_step = jax.jit(fused, donate_argnums=(0,))
-        self.predict_fn = make_predict_fn(self.main_od, self.stud_od, self.main_oc,
-                                          self.stud_oc)
+        if algorithm == "Unet_nips2023_joint_shape_regularization":
+            from wt_pse_tpu.train.eval import make_predict_fn_joint
+
+            self.predict_fn = make_predict_fn_joint(self.main_od, self.main_oc)
+        else:
+            self.predict_fn = make_predict_fn(self.main_od, self.stud_od,
+                                              self.main_oc, self.stud_oc)
 
         # eval data: encoded native-res masks per image
         self.val_images = val_domain.images
@@ -138,6 +155,18 @@ class Trainer:
         self.best_list = [0.0] * 6
         self.epoch = 0
         self.lr_od = lr_od
+
+        if resume:
+            # real resume (the reference parses --resume but never uses it,
+            # train.py:186 / 116-117 — this framework honors it): restore the
+            # full 4-net ensemble incl. optimizer state and continue from the
+            # recorded step count.
+            from wt_pse_tpu.io.checkpoint import restore_ensemble
+
+            self.state = restore_ensemble(resume, self.state)
+            self.epoch = int(self.state.step) // max(self.iter_per_epoch, 1)
+            print(f"resumed from {resume} at step {int(self.state.step)} "
+                  f"(epoch {self.epoch})")
 
     # ------------------------------------------------------------------
 
