@@ -114,40 +114,44 @@ def torch_cpu_baseline_ips(n_steps: int = 2) -> float:
 
 
 def jax_train_ips() -> float:
+    """Steady-state throughput of the FUSED production step: per-domain sampling
+    from the HBM-resident dataset + on-device RandomScaleCrop/Normalize_tf + the
+    full 4-phase update, all one XLA program (what ``Trainer.train`` runs)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    import jax.numpy as jnp
 
     from wt_pse_tpu.config import default_hparams
-    from wt_pse_tpu.models.common import ModelConfig
-    from wt_pse_tpu.models.shape_prior import ShapeStudent
-    from wt_pse_tpu.models.wt_pse import WTPSE
-    from wt_pse_tpu.train.state import init_ensemble
-    from wt_pse_tpu.train.step import StepConfig, jit_train_step
-
-    hp = default_hparams("WT_PSE")
-    cfg = ModelConfig.from_hparams(hp)
-    main_od, stud_od = WTPSE(cfg), ShapeStudent(cfg)
-    main_oc, stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
-    state, txs = init_ensemble(main_od, stud_od, main_oc, stud_oc,
-                               (B, HW, HW, 3), jax.random.PRNGKey(0))
-    step = jit_train_step(main_od, stud_od, main_oc, stud_oc, txs,
-                          StepConfig(hp, 3, B // 3))
+    from wt_pse_tpu.data.fundus import FundusDomain
+    from wt_pse_tpu.train.trainer import Trainer
 
     rng = np.random.RandomState(0)
-    batch = {
-        "image": jnp.asarray(rng.rand(B, HW, HW, 3) * 2 - 1, jnp.float32),
-        "target_od": jnp.asarray((rng.rand(B, HW, HW, 1) > 0.7).astype(np.float32)),
-        "target_oc": jnp.asarray((rng.rand(B, HW, HW, 1) > 0.9).astype(np.float32)),
-    }
-    state, m = step(state, batch, jax.random.PRNGKey(1))  # compile + warmup
+
+    def dom(n):
+        return FundusDomain(
+            images=(rng.rand(n, HW, HW, 3) * 255).astype(np.uint8),
+            labels=rng.choice([0, 128, 255], size=(n, HW, HW)).astype(np.uint8),
+            names=[str(i) for i in range(n)])
+
+    val = FundusDomain(
+        images=(rng.rand(2, HW, HW, 3) * 255).astype(np.uint8),
+        labels=[rng.choice([0, 128, 255], size=(412, 412)).astype(np.uint8)
+                for _ in range(2)],
+        names=["a", "b"])
+    trainer = Trainer(
+        hparams=default_hparams("WT_PSE"),
+        train_domains=[dom(40), dom(40), dom(40)], val_domain=val,
+        out_dir="/tmp/bench_run", label="OD", batch_size=B, max_epoch=1,
+        interval_validate=99, seed=1)
+
+    key = jax.random.PRNGKey(0)
+    state, m = trainer.fused_step(trainer.state, trainer.data, key)  # compile
     jax.block_until_ready(m["loss_seg"])
-    n = 20
+    n = 30
     t0 = time.time()
     for i in range(n):
-        state, m = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+        state, m = trainer.fused_step(state, trainer.data, jax.random.fold_in(key, i))
     jax.block_until_ready(m["loss_seg"])
     return B / ((time.time() - t0) / n)
 
