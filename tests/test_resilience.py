@@ -1,0 +1,70 @@
+"""NaN auto-recovery rollback in the Trainer."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wt_pse_tpu.config import default_hparams
+from wt_pse_tpu.data.fundus import FundusDomain
+from wt_pse_tpu.train.trainer import Trainer
+
+
+def _dom(n=6, hw=32, seed=0):
+    r = np.random.RandomState(seed)
+    return FundusDomain(
+        images=(r.rand(n, hw, hw, 3) * 255).astype(np.uint8),
+        labels=r.choice([0, 128, 255], size=(n, hw, hw)).astype(np.uint8),
+        names=[str(i) for i in range(n)])
+
+
+def test_nan_rollback(tmp_path):
+    val = FundusDomain(images=_dom(2).images,
+                       labels=[l for l in _dom(2).labels], names=["a", "b"])
+    t = Trainer(hparams=default_hparams("WT_PSE"),
+                train_domains=[_dom(seed=s) for s in (1, 2, 3)], val_domain=val,
+                out_dir=str(tmp_path / "r"), label="OD", batch_size=3,
+                max_epoch=4, interval_validate=99, seed=1, image_size=32,
+                nan_recovery=True)
+
+    real_step = t.fused_step
+    calls = {"n": 0}
+
+    def flaky_step(state, data, key):
+        calls["n"] += 1
+        state, metrics = real_step(state, data, key)
+        if calls["n"] == 2 * t.iter_per_epoch:  # poison end of epoch 2
+            metrics = dict(metrics)
+            metrics["loss_seg"] = jnp.asarray(float("nan"))
+        return state, metrics
+
+    t.fused_step = flaky_step
+    best = t.train()  # must NOT raise
+    assert len(best) == 6
+    # training continued past the poisoned epoch
+    assert calls["n"] == 4 * t.iter_per_epoch
+    assert np.isfinite(
+        float(jax.tree.leaves(t.state.od.params)[0].sum()))
+
+
+def test_nan_without_recovery_raises(tmp_path):
+    import pytest
+
+    val = FundusDomain(images=_dom(2).images,
+                       labels=[l for l in _dom(2).labels], names=["a", "b"])
+    t = Trainer(hparams=default_hparams("WT_PSE"),
+                train_domains=[_dom(seed=s) for s in (1, 2, 3)], val_domain=val,
+                out_dir=str(tmp_path / "r2"), label="OD", batch_size=3,
+                max_epoch=2, interval_validate=99, seed=1, image_size=32)
+
+    real_step = t.fused_step
+
+    def poison(state, data, key):
+        state, metrics = real_step(state, data, key)
+        metrics = dict(metrics)
+        metrics["loss_seg"] = jnp.asarray(float("nan"))
+        return state, metrics
+
+    t.fused_step = poison
+    with pytest.raises(ValueError, match="nan"):
+        t.train()

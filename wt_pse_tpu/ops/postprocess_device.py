@@ -1,0 +1,112 @@
+"""On-device (jittable) post-processing: largest connected component + hole fill.
+
+TPU-native alternative to the host scipy path (``ops/postprocess.py``): the eval
+pipeline can stay on device through thresholding, component analysis and hole
+filling, leaving only the final scalar metrics to the host.
+
+Algorithms (batched over B, fixed shapes, no data-dependent Python):
+
+- ``label_components``: iterative 8-neighbor max-propagation of unique seed ids
+  (pixel linear index + 1) under a ``lax.while_loop`` with convergence check —
+  equivalent to skimage/scipy 8-connectivity labeling for any component whose
+  geodesic diameter fits the iteration cap (H+W by default, ample for anatomical
+  masks; the host path remains the oracle for pathological shapes).
+- ``largest_component``: component areas via one scatter-add over the id map.
+- ``fill_holes``: background flood fill from the border with 4-neighbor
+  propagation (scipy ``binary_fill_holes`` default structure), complemented.
+
+Used by ``postprocess_logits_device`` = sigmoid -> 0.75 threshold -> LCC -> fill,
+the device twin of ``utils.py:278-329``. Verified against scipy in
+``tests/test_postprocess_device.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _maxpool8(x: jax.Array) -> jax.Array:
+    """3x3 max (8-connectivity dilation), same padding; x: (B, H, W)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+
+
+def _maxpool4(x: jax.Array) -> jax.Array:
+    """Cross-shaped max (4-connectivity dilation); x: (B, H, W)."""
+    a = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 1), (1, 1, 1), "SAME")
+    b = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 3), (1, 1, 1), "SAME")
+    return jnp.maximum(a, b)
+
+
+def _propagate(ids: jax.Array, mask: jax.Array, pool, max_iters: int) -> jax.Array:
+    """Fixpoint of id max-propagation restricted to ``mask``."""
+
+    def cond(state):
+        i, ids, changed = state
+        return jnp.logical_and(i < max_iters, changed)
+
+    def body(state):
+        i, ids, _ = state
+        new = jnp.where(mask, pool(ids), ids)
+        return i + 1, new, jnp.any(new != ids)
+
+    _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), ids, jnp.asarray(True)))
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def label_components(mask: jax.Array, connectivity: int = 2,
+                     max_iters: int | None = None) -> jax.Array:
+    """(B, H, W) binary -> (B, H, W) int32 component ids (0 = background).
+
+    Ids are the max linear pixel index + 1 within each component (arbitrary but
+    stable labels, sufficient for area analysis).
+    """
+    b, h, w = mask.shape
+    m = mask > 0
+    seeds = (jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w) + 1.0) * m
+    pool = _maxpool8 if connectivity == 2 else _maxpool4
+    iters = max_iters if max_iters is not None else h + w
+    return _propagate(seeds, m, pool, iters).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def largest_component(mask: jax.Array, connectivity: int = 2) -> jax.Array:
+    """Keep only the largest component per batch item (ties: higher id wins —
+    area ties between distinct regions are measure-zero for real predictions)."""
+    b, h, w = mask.shape
+    ids = label_components(mask, connectivity)
+    flat = ids.reshape(b, h * w)
+    areas = jax.vmap(
+        lambda row: jnp.zeros(h * w + 1, jnp.int32).at[row].add(1))(flat)
+    areas = areas.at[:, 0].set(0)
+    best = jnp.argmax(areas, axis=1)
+    return (ids == best[:, None, None]) & (mask > 0)
+
+
+@jax.jit
+def fill_holes(mask: jax.Array) -> jax.Array:
+    """scipy ``binary_fill_holes`` parity (4-connectivity background flood)."""
+    b, h, w = mask.shape
+    m = mask > 0
+    bg = ~m
+    border = jnp.zeros((1, h, w), bool)
+    border = border.at[:, 0, :].set(True).at[:, -1, :].set(True)
+    border = border.at[:, :, 0].set(True).at[:, :, -1].set(True)
+    reach0 = (border & bg).astype(jnp.float32)
+    reach = _propagate(reach0, bg, _maxpool4, h + w) > 0
+    holes = bg & ~reach
+    return m | holes
+
+
+@jax.jit
+def postprocess_logits_device(logits: jax.Array,
+                              threshold: float = 0.75) -> jax.Array:
+    """Device twin of ``postprocess_logits`` channel-0 cleaning:
+    (B, H, W) logits -> binary uint8 after sigmoid/threshold/LCC/fill."""
+    binary = (jax.nn.sigmoid(logits) > threshold)
+    return fill_holes(largest_component(binary)).astype(jnp.uint8)

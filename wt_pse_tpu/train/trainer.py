@@ -83,6 +83,9 @@ class Trainer:
         image_size: int = 256,
         resume: str | None = None,
         algorithm: str = "WT_PSE",
+        profile_dir: str | None = None,
+        profile_steps: int = 20,
+        nan_recovery: bool = False,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -155,6 +158,12 @@ class Trainer:
         self.best_list = [0.0] * 6
         self.epoch = 0
         self.lr_od = lr_od
+        # observability / resilience (new capability; the reference has
+        # wall-clock prints and fail-fast NaN raises only, SURVEY.md §5)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self.nan_recovery = nan_recovery
+        self._last_good = None
 
         if resume:
             # real resume (the reference parses --resume but never uses it,
@@ -178,7 +187,23 @@ class Trainer:
                                self.val_od, self.val_oc, self.label,
                                self.eval_batch_size)
 
+    def _profile_once(self):
+        """Capture a jax.profiler trace of a few steady-state steps
+        (SURVEY.md §5: the TPU equivalent of the reference's wall-clock-only
+        tracing)."""
+        jax.profiler.start_trace(self.profile_dir)
+        key = jax.random.fold_in(self.run_key, 0x7FFFFFFF)  # off the epoch stream
+        st = self.state
+        for i in range(self.profile_steps):
+            st, m = self.fused_step(st, self.data, jax.random.fold_in(key, i))
+        jax.block_until_ready(m["loss_seg"])
+        jax.profiler.stop_trace()
+        self.state = st
+        print(f"profiler trace ({self.profile_steps} steps) -> {self.profile_dir}")
+
     def train(self) -> list[float]:
+        if self.profile_dir:
+            self._profile_once()
         for epoch in range(self.epoch, self.max_epoch):
             self.epoch = epoch
             t0 = time.time()
@@ -197,7 +222,16 @@ class Trainer:
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
                 metrics.get("loss_dom_wt_oc", 0.0), time.time() - t0)
             if not np.isfinite(metrics.get("loss_seg", 0.0)):
+                if self.nan_recovery and self._last_good is not None:
+                    # resilience beyond the reference: roll back to the last
+                    # finite epoch and continue on a fresh RNG fold
+                    print(f"[epoch {epoch}] non-finite loss - rolling back")
+                    self.state = jax.tree.map(jnp.asarray, self._last_good)
+                    self.run_key = jax.random.fold_in(self.run_key, epoch + 977)
+                    continue
                 raise ValueError("loss is nan while training")  # Trainer.py:799-800
+            if self.nan_recovery:
+                self._last_good = jax.tree.map(np.asarray, self.state)
 
             if self.stop_epoch == epoch:
                 print(f"Stop epoch at {self.stop_epoch}")
