@@ -37,7 +37,25 @@ def _surface(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
 
 def surface_distances(a: np.ndarray, b: np.ndarray, connectivity: int = 1) -> np.ndarray:
     """Distances from each surface voxel of ``a`` to the nearest surface voxel of
-    ``b`` (medpy ``__surface_distances``)."""
+    ``b`` (medpy ``__surface_distances``). Dispatches to the native C++ engine
+    when built (connectivity-1 surfaces, the medpy default)."""
+    if connectivity == 1:
+        from wt_pse_tpu import native
+
+        if native.AVAILABLE:
+            na = np.asarray(a, bool)
+            nb = np.asarray(b, bool)
+            if not na.any():
+                raise ValueError("first mask is empty")
+            if not nb.any():
+                raise ValueError("second mask is empty")
+            return native.surface_distances_native(na, nb).astype(np.float64)
+    return surface_distances_scipy(a, b, connectivity)
+
+
+def surface_distances_scipy(a: np.ndarray, b: np.ndarray,
+                            connectivity: int = 1) -> np.ndarray:
+    """scipy reference implementation (always available)."""
     a = np.asarray(a, bool)
     b = np.asarray(b, bool)
     if not a.any():

@@ -22,7 +22,18 @@ _EIGHT = np.ones((3, 3), dtype=np.int8)
 
 def largest_component_fill_holes(binary: np.ndarray) -> np.ndarray:
     """Keep the largest 8-connected component, then fill holes
-    (utils.py:267-276). Returns an int array (0/1) like the reference."""
+    (utils.py:267-276). Dispatches to the native C++ implementation when built
+    (wt_pse_tpu.native, ~3x faster on full-resolution masks); the scipy path
+    below is the behavioral oracle."""
+    from wt_pse_tpu import native
+
+    if native.AVAILABLE:
+        return native.largest_component_fill_holes_native(binary)
+    return largest_component_fill_holes_scipy(binary)
+
+
+def largest_component_fill_holes_scipy(binary: np.ndarray) -> np.ndarray:
+    """scipy reference implementation (always available)."""
     binary = np.asarray(binary)
     labeled, n = ndi.label(binary, structure=_EIGHT)
     if n > 0:
