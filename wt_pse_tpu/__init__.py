@@ -28,3 +28,27 @@ cli       train / test_visualization entry points (flag parity with the referenc
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import wt_pse_tpu` free of jax import cost)."""
+    _api = {
+        "Trainer": ("wt_pse_tpu.train.trainer", "Trainer"),
+        "WTPSE": ("wt_pse_tpu.models.wt_pse", "WTPSE"),
+        "ShapeStudent": ("wt_pse_tpu.models.shape_prior", "ShapeStudent"),
+        "TeacherShapePrior": ("wt_pse_tpu.models.shape_prior", "TeacherShapePrior"),
+        "JointShapeReg": ("wt_pse_tpu.models.joint", "JointShapeReg"),
+        "ModelConfig": ("wt_pse_tpu.models.common", "ModelConfig"),
+        "load_fundus": ("wt_pse_tpu.data.fundus", "load_fundus"),
+        "load_train_domains": ("wt_pse_tpu.data.fundus", "load_train_domains"),
+        "default_hparams": ("wt_pse_tpu.config", "default_hparams"),
+        "load_config": ("wt_pse_tpu.config", "load_config"),
+        "load_reference_checkpoint": ("wt_pse_tpu.io.torch_import",
+                                      "load_reference_checkpoint"),
+    }
+    if name in _api:
+        import importlib
+
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

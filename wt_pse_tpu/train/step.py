@@ -117,7 +117,13 @@ def _seg_phase(model: WTPSE, tx, net, image, target, wt_input, seg_loss_fn,
     grads, (out, new_bs, loss_seg, inst, dom) = jax.grad(loss_fn, has_aux=True)(net.params)
     grads = cfg._pmean(grads)
     new_net = net.apply_updates(grads, tx, new_bs)
-    metrics = {"loss_seg": loss_seg, "loss_ins_wt": inst, "loss_dom_wt": dom}
+    # on-device train Dice (smoothed, metrics.py:94) at the reference's 0.75
+    # threshold — fills the reference's log.csv train-dice columns for free
+    pred = (jax.nn.sigmoid(out) > 0.75).astype(jnp.float32)
+    inter = jnp.sum(pred * target)
+    dice = (2.0 * inter + 1.0) / (1.0 + jnp.sum(pred) + jnp.sum(target))
+    metrics = {"loss_seg": loss_seg, "loss_ins_wt": inst, "loss_dom_wt": dom,
+               "train_dice": dice}
     return new_net, out, metrics
 
 

@@ -216,7 +216,9 @@ class Trainer:
             metrics = {k: float(v) for k, v in metrics.items()}
             self.logger.scalars(epoch, metrics)
             self.logger.csv_row(epoch, (epoch + 1) * self.iter_per_epoch,
-                                metrics.get("loss_seg", 0.0))
+                                metrics.get("loss_seg", 0.0),
+                                train_cup=metrics.get("train_dice_oc"),
+                                train_disc=metrics.get("train_dice"))
             self.logger.epoch_summary(
                 epoch, self.lr_od, metrics.get("loss_seg_oc", 0.0),
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),

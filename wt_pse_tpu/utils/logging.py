@@ -37,8 +37,11 @@ class RunLogger:
             f.write(json.dumps(rec) + "\n")
 
     def csv_row(self, epoch: int, iteration: int, loss_seg: float,
-                val: dict | None = None):
-        row = [epoch, iteration, round(loss_seg, 6), "", "",
+                val: dict | None = None, train_cup: float | None = None,
+                train_disc: float | None = None):
+        fmt = lambda v: "" if v is None else round(v, 6)
+        row = [epoch, iteration, round(loss_seg, 6), fmt(train_cup),
+               fmt(train_disc),
                "", "" if val is None else round(val.get("cup_dice", 0), 6),
                "" if val is None else round(val.get("disc_dice", 0), 6),
                round(time.time() - self.t0, 1)]
