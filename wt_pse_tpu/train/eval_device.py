@@ -1,0 +1,125 @@
+"""Fully device-resident fast validation.
+
+Training-time model selection doesn't need native-resolution metrics — it needs a
+consistent, cheap objective every few epochs. This module keeps the entire
+validation on device at the network resolution (256²): two-stage predict ->
+jittable LCC + hole fill (``ops/postprocess_device``) -> Dice / ASD / HD95
+computed with the exact separable EDT (``ops/losses.distance_transform``) and
+medpy surface semantics (4-connectivity border = mask ^ erosion).
+
+The host path (``train/eval.py``: native-resolution upsample + C++/scipy
+post-processing) remains the reference-parity evaluator for reported numbers;
+this one is the sync-free option (``Trainer(fast_validation=True)``).
+
+Empty predictions score HD=ASD=100 (Trainer.py:221-233 parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wt_pse_tpu.ops.losses import distance_transform
+from wt_pse_tpu.ops.postprocess_device import postprocess_logits_device
+
+
+def _erode4(m: jax.Array) -> jax.Array:
+    """4-connectivity erosion with zero border (scipy border_value=0); (B,H,W)."""
+    pad = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+    return (m & pad[:, :-2, 1:-1] & pad[:, 2:, 1:-1]
+            & pad[:, 1:-1, :-2] & pad[:, 1:-1, 2:])
+
+
+def _surface(m: jax.Array) -> jax.Array:
+    return m & ~_erode4(m)
+
+
+def _surface_stats(pred: jax.Array, gt: jax.Array):
+    """(asd, hd95) per batch item, medpy semantics, empty-pred -> 100."""
+    sp = _surface(pred)
+    sg = _surface(gt)
+    dt_g = distance_transform(sg)  # distance to gt surface
+    dt_p = distance_transform(sp)
+
+    def one_dir(dt, surf):
+        n = jnp.sum(surf, axis=(1, 2))
+        vals = jnp.where(surf, dt, 0.0)
+        mean = jnp.sum(vals, axis=(1, 2)) / jnp.maximum(n, 1)
+        # p95: sort distances with non-surface pinned to +inf, index ceil(.95(n-1))
+        flat = jnp.where(surf, dt, jnp.inf).reshape(dt.shape[0], -1)
+        srt = jnp.sort(flat, axis=1)
+        idx = jnp.ceil(0.95 * jnp.maximum(n - 1, 0)).astype(jnp.int32)
+        p95 = jnp.take_along_axis(srt, idx[:, None], axis=1)[:, 0]
+        return mean, p95
+
+    asd_pg, p95_pg = one_dir(dt_g, sp)
+    _, p95_gp = one_dir(dt_p, sg)
+    hd95 = jnp.maximum(p95_pg, p95_gp)
+
+    empty = jnp.sum(pred, axis=(1, 2)) < 1
+    return (jnp.where(empty, 100.0, asd_pg), jnp.where(empty, 100.0, hd95))
+
+
+@jax.jit
+def device_metrics(od_logits: jax.Array, oc_logits: jax.Array,
+                   od_gt: jax.Array, oc_gt: jax.Array) -> dict:
+    """(B,H,W) logits + binary gts -> per-item metric arrays, all on device."""
+    pred_od = postprocess_logits_device(od_logits).astype(bool)
+    pred_oc = postprocess_logits_device(oc_logits).astype(bool)
+    gt_od = od_gt > 0.5
+    gt_oc = oc_gt > 0.5
+
+    def dice(p, g):
+        inter = jnp.sum(p & g, axis=(1, 2)).astype(jnp.float32)
+        return (2 * inter + 1) / (1 + jnp.sum(p, (1, 2)) + jnp.sum(g, (1, 2)))
+
+    asd_od, hd_od = _surface_stats(pred_od, gt_od)
+    asd_oc, hd_oc = _surface_stats(pred_oc, gt_oc)
+    return {
+        "disc_dice": dice(pred_od, gt_od),
+        "cup_dice": dice(pred_oc, gt_oc),
+        "disc_asd": asd_od,
+        "cup_asd": asd_oc,
+        "disc_hd": hd_od,
+        "cup_hd": hd_oc,
+    }
+
+
+def evaluate_domain_device(predict_fn, variables, images_u8: np.ndarray,
+                           od_gt_256: np.ndarray, oc_gt_256: np.ndarray,
+                           label: str | None = "OD",
+                           batch_size: int = 8) -> dict:
+    """Sync-free validation at network resolution. ``od_gt_256``/``oc_gt_256``:
+    (N,256,256) binary masks (encode the 256-resized labels once at load)."""
+    n = len(images_u8)
+    acc = {}
+    weight = 0
+    for start in range(0, n, batch_size):
+        chunk = slice(start, min(start + batch_size, n))
+        img = np.asarray(images_u8[chunk], np.float32)
+        k = img.shape[0]
+        if k < batch_size:  # fixed compiled shape
+            img = np.concatenate(
+                [img, np.zeros((batch_size - k,) + img.shape[1:], img.dtype)])
+        imgs = jnp.asarray(img / 127.5 - 1.0)
+        out_od, out_oc = predict_fn(*variables, imgs)
+        hw = od_gt_256.shape[-2:]
+        god = np.zeros((batch_size, *hw), np.float32)
+        goc = np.zeros((batch_size, *hw), np.float32)
+        god[:k] = od_gt_256[chunk]
+        goc[:k] = oc_gt_256[chunk]
+        m = device_metrics(out_od[..., 0], out_oc[..., 0],
+                           jnp.asarray(god), jnp.asarray(goc))
+        for key, v in m.items():  # drop padded rows before aggregating
+            acc[key] = acc.get(key, 0.0) + float(np.asarray(v)[:k].sum())
+        weight += k
+    out = {key: v / weight for key, v in acc.items()}
+    if label == "OD":
+        out["objective"] = out["disc_dice"]
+    elif label == "OC":
+        out["objective"] = out["cup_dice"]
+    else:
+        out["objective"] = (out["cup_dice"] + out["disc_dice"]) / 2
+    return out

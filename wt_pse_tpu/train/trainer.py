@@ -86,6 +86,7 @@ class Trainer:
         profile_dir: str | None = None,
         profile_steps: int = 20,
         nan_recovery: bool = False,
+        fast_validation: bool = False,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -153,6 +154,23 @@ class Trainer:
             od, oc = encode_masks(np.asarray(lab, np.uint8))
             self.val_od.append(od)
             self.val_oc.append(oc)
+        # fast (device-resident) validation: metrics at network resolution,
+        # zero host post-processing (train/eval_device.py)
+        self.fast_validation = fast_validation
+        if fast_validation:
+            from PIL import Image
+
+            hw = image_size
+            od256, oc256 = [], []
+            for lab in val_domain.labels:
+                la = np.asarray(
+                    Image.fromarray(np.asarray(lab, np.uint8)).resize((hw, hw)),
+                    np.uint8)
+                od, oc = encode_masks(la)
+                od256.append(od)
+                oc256.append(oc)
+            self._val_od_256 = np.stack(od256)
+            self._val_oc_256 = np.stack(oc256)
 
         self.best = {"objective": 0.0, "epoch": -1}
         self.best_list = [0.0] * 6
@@ -183,6 +201,13 @@ class Trainer:
         variables = (
             self.state.od.variables, self.state.od_shape.variables,
             self.state.oc.variables, self.state.oc_shape.variables)
+        if self.fast_validation:
+            from wt_pse_tpu.train.eval_device import evaluate_domain_device
+
+            return evaluate_domain_device(
+                self.predict_fn, variables, self.val_images,
+                self._val_od_256, self._val_oc_256, self.label,
+                self.eval_batch_size)
         return evaluate_domain(self.predict_fn, variables, self.val_images,
                                self.val_od, self.val_oc, self.label,
                                self.eval_batch_size)
