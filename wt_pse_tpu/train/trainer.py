@@ -87,11 +87,12 @@ class Trainer:
         profile_steps: int = 20,
         nan_recovery: bool = False,
         fast_validation: bool = False,
+        tensorboard: bool = False,
     ):
         self.hparams = dict(hparams)
         self.label = label
         self.out = out_dir
-        self.logger = RunLogger(out_dir)
+        self.logger = RunLogger(out_dir, tensorboard=tensorboard)
         self.max_epoch = max_epoch
         self.stop_epoch = stop_epoch if stop_epoch is not None else max_epoch
         self.interval_validate = interval_validate
@@ -112,6 +113,11 @@ class Trainer:
             # (dispatch parity with Trainer.py:1032-1035)
             from wt_pse_tpu.models.joint import JointShapeReg
 
+            if cfg.whitening:
+                raise ValueError(
+                    "the joint algorithm has no teacher/student pair; its "
+                    "hparams block disables whitening (hparams_registry.py:126)"
+                    " — whitening=True is unsupported with it")
             self.main_od = JointShapeReg(cfg)
             self.main_oc = JointShapeReg(cfg, two_step=True)
         else:

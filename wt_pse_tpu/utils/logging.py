@@ -20,7 +20,7 @@ LOG_HEADERS = [
 
 
 class RunLogger:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, tensorboard: bool = False):
         self.out = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.t0 = time.time()
@@ -29,12 +29,28 @@ class RunLogger:
             with open(self.csv_path, "w") as f:
                 f.write(",".join(LOG_HEADERS) + "\n")
         self.jsonl_path = os.path.join(out_dir, "metrics.jsonl")
+        # optional TensorBoard event files (the reference writes tensorboardX
+        # events under out/tensorboard/, Trainer.py:120-122); torch's writer
+        # emits the same format
+        self.tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    log_dir=os.path.join(out_dir, "tensorboard"))
+            except Exception:
+                self.tb = None
 
     def scalars(self, step: int, payload: dict):
         rec = {"step": step, "t": round(time.time() - self.t0, 3)}
         rec.update({k: float(v) for k, v in payload.items()})
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "t"):
+                    self.tb.add_scalar(k, v, step)
 
     def csv_row(self, epoch: int, iteration: int, loss_seg: float,
                 val: dict | None = None, train_cup: float | None = None,
