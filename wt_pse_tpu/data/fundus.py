@@ -75,13 +75,36 @@ def load_fundus(
     splitid=(1, 2, 4),
     state: str = "train",
     size: int = 256,
+    cache: bool = True,
 ) -> FundusDomain:
     """Decode one FundusSegmentation-equivalent dataset.
 
     ``state='prediction'`` keeps labels at native resolution (list), as the
     reference does for test-time metrics (fundus_dataloader.py:193-194).
+
+    Decoded arrays are cached as ``.npz`` next to the dataset (keyed by
+    phase/split/state/size) so repeated runs skip the PIL decode entirely —
+    the reference re-decodes every run (eagerly, into PIL handles).
     """
+    import hashlib
+
     from PIL import Image
+
+    cache_path = None
+    if cache:
+        key = f"{phase}-{'_'.join(map(str, splitid))}-{state}-{size}"
+        digest = hashlib.sha1(key.encode()).hexdigest()[:10]
+        cache_dir = os.path.join(base_dir, ".wt_pse_cache")
+        cache_path = os.path.join(cache_dir, f"fundus_{key}_{digest}.npz")
+        if os.path.exists(cache_path):
+            try:
+                z = np.load(cache_path, allow_pickle=True)
+                labels = (z["labels"] if state != "prediction"
+                          else list(z["labels_ragged"]))
+                return FundusDomain(images=z["images"], labels=labels,
+                                    names=list(z["names"]))
+            except Exception:
+                pass  # stale/corrupt cache: fall through and re-decode
 
     entries = []
     for sid in splitid:
@@ -131,6 +154,18 @@ def load_fundus(
         labels_out: np.ndarray | list = np.stack(labels)
     else:
         labels_out = labels  # native resolutions may differ per image
+
+    if cache_path is not None:
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            payload = {"images": images_arr, "names": np.array(names)}
+            if state != "prediction":
+                payload["labels"] = labels_out
+            else:
+                payload["labels_ragged"] = np.array(labels_out, dtype=object)
+            np.savez_compressed(cache_path, **payload)
+        except Exception:
+            pass  # read-only dataset dirs are fine; caching is best-effort
     return FundusDomain(images=images_arr, labels=labels_out, names=names)
 
 
