@@ -259,12 +259,15 @@ class Trainer:
                     # resilience beyond the reference: roll back to the last
                     # finite epoch and continue on a fresh RNG fold
                     print(f"[epoch {epoch}] non-finite loss - rolling back")
-                    self.state = jax.tree.map(jnp.asarray, self._last_good)
+                    # re-copy: the restored buffers will be donated next step
+                    self.state = jax.tree.map(jnp.copy, self._last_good)
                     self.run_key = jax.random.fold_in(self.run_key, epoch + 977)
                     continue
                 raise ValueError("loss is nan while training")  # Trainer.py:799-800
             if self.nan_recovery:
-                self._last_good = jax.tree.map(np.asarray, self.state)
+                # device-resident snapshot (HBM->HBM copy, ~ms). A host copy
+                # here costs ~minutes/epoch over a slow device->host link.
+                self._last_good = jax.tree.map(jnp.copy, self.state)
 
             if self.stop_epoch == epoch:
                 print(f"Stop epoch at {self.stop_epoch}")
