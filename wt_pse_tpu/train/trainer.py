@@ -243,8 +243,12 @@ class Trainer:
                 step_key = jax.random.fold_in(
                     self.run_key, epoch * self.iter_per_epoch + it)
                 self.state, metrics = self.fused_step(self.state, self.data, step_key)
-            # one host sync per epoch for the log line
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # one host sync per epoch for the log line — stacked into a single
+            # device->host transfer (per-scalar fetches cost one link RTT each,
+            # ~seconds/epoch over a tunneled device)
+            names = sorted(metrics)
+            stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
+            metrics = {k: float(v) for k, v in zip(names, stacked)}
             self.logger.scalars(epoch, metrics)
             self.logger.csv_row(epoch, (epoch + 1) * self.iter_per_epoch,
                                 metrics.get("loss_seg", 0.0),
