@@ -20,8 +20,6 @@ matmul-based resize used in the nets.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Any
-
 import numpy as np
 
 import jax
@@ -141,19 +139,16 @@ def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,
     _, disc_dice = M.dice_coeff_2label(pred_od[None], od_gt[None], label)
     cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
 
+    as_bool = lambda x: np.asarray(x, dtype=bool)
     if pred_oc.sum() < 1e-4:
         cup_hd = cup_asd = 100.0
     else:
-        cup_hd = M.hd95(pred_od_bool(pred_oc), pred_od_bool(oc_gt))
-        cup_asd = M.asd(pred_od_bool(pred_oc), pred_od_bool(oc_gt))
+        cup_hd = M.hd95(as_bool(pred_oc), as_bool(oc_gt))
+        cup_asd = M.asd(as_bool(pred_oc), as_bool(oc_gt))
     if pred_od.sum() < 1e-4:
         disc_hd = disc_asd = 100.0
     else:
-        disc_hd = M.hd95(pred_od_bool(pred_od), pred_od_bool(od_gt))
-        disc_asd = M.asd(pred_od_bool(pred_od), pred_od_bool(od_gt))
+        disc_hd = M.hd95(as_bool(pred_od), as_bool(od_gt))
+        disc_asd = M.asd(as_bool(pred_od), as_bool(od_gt))
     return {"cup_dice": cup_dice, "disc_dice": disc_dice, "cup_hd": cup_hd,
             "disc_hd": disc_hd, "cup_asd": cup_asd, "disc_asd": disc_asd}
-
-
-def pred_od_bool(x: np.ndarray) -> np.ndarray:
-    return np.asarray(x, dtype=bool)

@@ -31,7 +31,6 @@ device scalars fetched asynchronously by the logger.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
