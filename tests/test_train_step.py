@@ -71,6 +71,25 @@ def test_full_step_runs_and_losses_decrease(rng):
     assert losses[-1] < losses[0], losses
 
 
+def test_bf16_mode_step_learns(rng):
+    """Mixed-precision production mode (`compute_dtype=bfloat16`): bf16 conv
+    compute on the MXU, f32 master params / BN stats / losses. Must stay finite
+    and learn on a fixed batch like the f32 path."""
+    hparams = dict(default_hparams("WT_PSE"))
+    hparams["compute_dtype"] = "bfloat16"
+    state, step = _build(hparams)
+    batch = _make_batch(rng)
+    key = jax.random.PRNGKey(7)
+    st, losses = state, []
+    for i in range(8):
+        st, m = step(st, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["loss_seg"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+    # master params remain f32 (only compute is bf16)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(st.od.params))
+
+
 def test_seg_only_step(rng):
     """BASELINE config 3: shape_prior=False, whitening=False, single domain."""
     hparams = dict(default_hparams("WT_PSE"))

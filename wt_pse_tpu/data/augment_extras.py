@@ -81,7 +81,10 @@ def _gaussian_blur_2d(x: jax.Array, sigma: float, truncate: float = 4.0):
         a = jnp.moveaxis(a, axis, -1)
         pad = [(0, 0)] * (a.ndim - 1) + [(radius, radius)]
         ap = jnp.pad(a, pad)
-        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(
+        # precision: this backend's default convolution precision is bf16-level;
+        # scipy parity needs true f32 accumulation
+        out = jax.vmap(lambda row: jnp.convolve(
+            row, k, mode="valid", precision=jax.lax.Precision.HIGHEST))(
             ap.reshape(-1, ap.shape[-1]))
         return jnp.moveaxis(out.reshape(a.shape), -1, axis)
 

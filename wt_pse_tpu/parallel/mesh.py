@@ -13,8 +13,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+def data_mesh(n_devices: int | None = None, axis: str = "data",
+              devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

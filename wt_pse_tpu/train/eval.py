@@ -39,6 +39,13 @@ def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
 
     @jax.jit
     def predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
+        # checkpoint-parity path: this backend's default matmul/conv precision
+        # is bf16-level even in f32; the 0.5% Dice/ASD budget needs true f32.
+        # (context is active during tracing -> baked into the compiled program)
+        with jax.default_matmul_precision("highest"):
+            return _predict(v_od, v_od_shape, v_oc, v_oc_shape, image)
+
+    def _predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
         if shape_prior:
             z = stud_od.apply(v_od_shape, image, False,
                               method=ShapeStudent.sample_from_image)
@@ -65,21 +72,59 @@ def make_predict_fn_joint(main_od, main_oc):
     @jax.jit
     def predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
         del v_od_shape, v_oc_shape  # joint nets carry their prior internally
-        out_od = main_od.apply(v_od, image, method=type(main_od).predict)
-        od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
-        roi = (image + 1.0) * od_pred - 1.0
-        out_oc = main_oc.apply(v_oc, roi, method=type(main_oc).predict)
-        return out_od, out_oc * od_pred
+        with jax.default_matmul_precision("highest"):  # parity path, see above
+            out_od = main_od.apply(v_od, image, method=type(main_od).predict)
+            od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
+            roi = (image + 1.0) * od_pred - 1.0
+            out_oc = main_oc.apply(v_oc, roi, method=type(main_oc).predict)
+            return out_od, out_oc * od_pred
 
     return predict
 
 
-_resize_logits = jax.jit(resize_bilinear, static_argnums=(1,))
+def _resize_highest(x, hw):
+    with jax.default_matmul_precision("highest"):  # matmul-based resize, parity path
+        return resize_bilinear(x, hw)
+
+
+_resize_logits = jax.jit(_resize_highest, static_argnums=(1,))
+
+
+def _linear_resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
+    """numpy mirror of models.layers._linear_resize_matrix (identical math)."""
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    w_lo = 1.0 - w_hi
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), lo), w_lo)
+    np.add.at(m, (np.arange(out_size), hi), w_hi)
+    return m
+
+
+def _resize_host(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Host-side bilinear resize, same matmul formulation as resize_bilinear.
+
+    Used for the 256->native upsample at eval: identical f32 math, but no
+    per-resolution XLA compile (minutes each over a tunneled device) and a
+    smaller device->host transfer (256-sq logits instead of native-size).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    mh = _linear_resize_matrix_np(h, oh).astype(np.float64)
+    mw = _linear_resize_matrix_np(w, ow).astype(np.float64)
+    y = np.einsum("oh,nhwc->nowc", mh, x.astype(np.float64))
+    return np.einsum("pw,nowc->nopc", mw, y).astype(np.float32)
 
 
 def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
                     od_masks: list[np.ndarray], oc_masks: list[np.ndarray],
-                    label: str | None = "OD", batch_size: int = 8) -> dict[str, float]:
+                    label: str | None = "OD", batch_size: int = 8,
+                    resize: str = "host") -> dict[str, float]:
     """Evaluate one test domain.
 
     Args:
@@ -88,6 +133,9 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
       images_u8: (N, 256, 256, 3) uint8 test images (already LANCZOS-resized).
       od_masks / oc_masks: per-image native-resolution binary masks (float 0/1).
       label: validation objective ('OD'/'OC'/None), Trainer.py:269-274.
+      resize: 'host' (default — numpy matmul upsample, no per-resolution
+        compile, smaller transfer) or 'device' (jitted MXU upsample; wins only
+        when eval throughput matters more than compile latency).
 
     Returns means: cup_dice, disc_dice, cup_hd, disc_hd, cup_asd, disc_asd,
     and ``objective`` keyed by ``label``.
@@ -112,8 +160,12 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
                     [stacked, np.zeros((pad,) + stacked.shape[1:], stacked.dtype)])
             img = jnp.asarray(stacked / 127.5 - 1.0)
             out_od, out_oc = predict_fn(*variables, img)
-            od_native = np.asarray(_resize_logits(out_od, native_hw))[: len(chunk)]
-            oc_native = np.asarray(_resize_logits(out_oc, native_hw))[: len(chunk)]
+            if resize == "host":
+                od_native = _resize_host(np.asarray(out_od), native_hw)[: len(chunk)]
+                oc_native = _resize_host(np.asarray(out_oc), native_hw)[: len(chunk)]
+            else:
+                od_native = np.asarray(_resize_logits(out_od, native_hw))[: len(chunk)]
+                oc_native = np.asarray(_resize_logits(out_oc, native_hw))[: len(chunk)]
             for j, i in enumerate(chunk):
                 res = _score_one(od_native[j, ..., 0], oc_native[j, ..., 0],
                                  np.asarray(od_masks[i]).squeeze(),

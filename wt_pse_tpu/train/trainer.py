@@ -88,6 +88,7 @@ class Trainer:
         nan_recovery: bool = False,
         fast_validation: bool = False,
         tensorboard: bool = False,
+        val_visualization: bool = True,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -163,7 +164,8 @@ class Trainer:
         # fast (device-resident) validation: metrics at network resolution,
         # zero host post-processing (train/eval_device.py)
         self.fast_validation = fast_validation
-        if fast_validation:
+        self.val_visualization = val_visualization
+        if fast_validation or val_visualization:
             from PIL import Image
 
             hw = image_size
@@ -203,10 +205,41 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _save_val_montage(self, variables):
+        """Reference-style validation montage (utils.py:330-363 /
+        Trainer.py:188-199): ``[image | GT overlay | cup pred | disc pred]`` for
+        the first eval batch, saved under ``visualization/epoch_<N>.png`` and
+        logged as a TB image when the writer is live."""
+        from wt_pse_tpu.utils.visualization import joint_val_image, save_val_img
+
+        bs = self.eval_batch_size
+        k = min(len(self.val_images), bs, 4)
+        img = np.asarray(self.val_images[:bs], np.float32)
+        if img.shape[0] < bs:  # reuse the eval batch shape -> no new compile
+            img = np.concatenate(
+                [img, np.zeros((bs - img.shape[0],) + img.shape[1:], img.dtype)])
+        norm = img / 127.5 - 1.0
+        out_od, out_oc = self.predict_fn(*variables, jnp.asarray(norm))
+        out_od, out_oc = np.asarray(out_od), np.asarray(out_oc)
+        pred_od = (1.0 / (1.0 + np.exp(-out_od[..., 0])) > 0.75)
+        pred_oc = (1.0 / (1.0 + np.exp(-out_oc[..., 0])) > 0.75)
+        montages = [
+            joint_val_image(
+                norm[i],
+                np.stack([pred_oc[i], pred_od[i]]).astype(np.float32),
+                np.stack([self._val_oc_256[i], self._val_od_256[i]]))
+            for i in range(k)]
+        path = save_val_img(self.out, self.epoch, montages)
+        from PIL import Image
+
+        self.logger.image("val/montage", np.asarray(Image.open(path)), self.epoch)
+
     def validate(self) -> dict:
         variables = (
             self.state.od.variables, self.state.od_shape.variables,
             self.state.oc.variables, self.state.oc_shape.variables)
+        if self.val_visualization:
+            self._save_val_montage(variables)
         if self.fast_validation:
             from wt_pse_tpu.train.eval_device import evaluate_domain_device
 

@@ -64,6 +64,25 @@ class RunLogger:
         with open(self.csv_path, "a") as f:
             f.write(",".join(str(x) for x in row) + "\n")
 
+    def image(self, tag: str, img: "object", step: int):
+        """Log an (H,W,3) uint8 image: PNG under ``images/`` (always) and a
+        TensorBoard ``add_image`` when the writer is live (the reference writes
+        train/val grids to tensorboardX every 30 iterations, Trainer.py:929-954)."""
+        import numpy as np
+
+        arr = np.asarray(img)
+        d = os.path.join(self.out, "images")
+        os.makedirs(d, exist_ok=True)
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(
+                os.path.join(d, f"{tag.replace('/', '_')}_{step}.png"))
+        except Exception:
+            pass
+        if self.tb is not None:
+            self.tb.add_image(tag, arr, step, dataformats="HWC")
+
     def best_score(self, val: dict):
         """score.txt appended on each new best (Trainer.py:279-281 format)."""
         with open(os.path.join(self.out, "score.txt"), "a") as f:

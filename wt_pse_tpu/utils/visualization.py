@@ -42,6 +42,48 @@ def overlay_contours(image_u8: np.ndarray, pred_2ch: np.ndarray,
     return out
 
 
+def joint_val_image(image: np.ndarray, pred_2ch: np.ndarray,
+                    mask_2ch: np.ndarray, ratio: float = 0.5) -> np.ndarray:
+    """4-panel validation montage (``/root/reference/utils.py:330-351``):
+    ``[image | mask overlay | cup-pred overlay | disc-pred overlay]``.
+
+    NHWC-native: ``image`` is (H,W,3) float in [-1,1] (Normalize_tf space, like
+    the reference's input), ``pred_2ch``/``mask_2ch`` are (2,H,W) binary with
+    [0]=cup, [1]=disc. Mask panel paints cup in red and disc in green channels
+    (reference lines 343-344); pred panels are grayscale blends. Returns
+    (H, 4W, 3) float in the blended range.
+    """
+    image = np.asarray(image, np.float32)
+    h, w = image.shape[:2]
+    pred = np.asarray(pred_2ch, np.float32)
+    mask = np.asarray(mask_2ch, np.float32)
+    pred_cup = np.repeat(pred[0][..., None], 3, axis=-1)
+    pred_disc = np.repeat(pred[1][..., None], 3, axis=-1)
+    mask_rgb = np.zeros((h, w, 3), np.float32)
+    mask_rgb[..., 0] = mask[0]
+    mask_rgb[..., 1] = mask[1]
+    panels = [image,
+              ratio * image + (1 - ratio) * mask_rgb,
+              ratio * image + (1 - ratio) * pred_cup,
+              ratio * image + (1 - ratio) * pred_disc]
+    return np.concatenate(panels, axis=1)
+
+
+def save_val_img(path: str, epoch: int, imgs: list[np.ndarray]):
+    """Stack per-sample montages vertically into
+    ``<path>/visualization/epoch_<N>.png`` (``utils.py:354-363``)."""
+    from PIL import Image
+
+    out = os.path.join(path, "visualization")
+    os.makedirs(out, exist_ok=True)
+    stack = np.concatenate([np.asarray(im, np.float32) for im in imgs], axis=0)
+    lo, hi = stack.min(), stack.max()
+    u8 = np.zeros_like(stack, np.uint8) if hi <= lo else \
+        np.clip((stack - lo) / (hi - lo) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(os.path.join(out, f"epoch_{epoch}.png"))
+    return os.path.join(out, f"epoch_{epoch}.png")
+
+
 def save_per_img(image_u8: np.ndarray, out_dir: str, name: str,
                  pred_2ch: np.ndarray, gt_2ch: np.ndarray, ext: str = "bmp"):
     """Save original + overlay images (utils.py:371-454 directory layout:
