@@ -86,3 +86,47 @@ def test_center_crop():
     out = X.center_crop(img, 4)
     assert out.shape == (4, 4, 1)
     assert float(out[0, 0, 0]) == 33.0
+
+
+def test_random_sized_crop(rng):
+    img = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    mask = jnp.asarray((rng.rand(64, 64) > 0.5).astype(np.float32))
+    shapes_differ = 0
+    for s in range(8):
+        out, om = X.random_sized_crop(jax.random.PRNGKey(s), img, mask, 32)
+        assert out.shape == (32, 32, 3) and om.shape == (32, 32)
+        assert set(np.unique(np.asarray(om))).issubset({0.0, 1.0})  # nearest
+        assert float(out.min()) >= float(img.min()) - 1e-6
+        assert float(out.max()) <= float(img.max()) + 1e-6
+        if not np.allclose(np.asarray(out), np.asarray(img)[::2, ::2]):
+            shapes_differ += 1
+    assert shapes_differ  # crops actually vary
+
+
+def test_get_boundary_matches_scipy(rng):
+    m = np.zeros((40, 40, 2), np.float32)
+    m[10:30, 10:30, 1] = 1  # disc
+    m[15:25, 15:25, 0] = 1  # cup
+    got = np.asarray(X.get_boundary(jnp.asarray(m), width=5))
+    bands = []
+    for c in range(2):
+        d = ndi.binary_dilation(m[..., c], iterations=5)
+        e = ndi.binary_erosion(m[..., c], iterations=5)
+        s = d.astype(np.uint8) + e.astype(np.uint8)
+        s[s == 2] = 0
+        bands.append(s)
+    want = ((bands[0] + bands[1]) > 0).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_single_label_encoding():
+    # raw grays: 250 bg-ish, 100 disc-ish, 10 cup-ish (re-thresholded inside)
+    m = np.array([[250, 100], [10, 255]], np.uint8)
+    img = np.full((2, 2, 3), 127.5, np.float32)
+    im_od, od = X.normalize_single_label(jnp.asarray(img), jnp.asarray(m), "OD")
+    _, oc = X.normalize_single_label(jnp.asarray(img), jnp.asarray(m), "OC")
+    np.testing.assert_allclose(np.asarray(im_od), 0.0)
+    # OD = disc ∪ cup (everything below 255 after re-threshold)
+    np.testing.assert_array_equal(np.asarray(od)[..., 0], [[0, 1], [1, 0]])
+    # OC = cup only
+    np.testing.assert_array_equal(np.asarray(oc)[..., 0], [[0, 0], [1, 0]])

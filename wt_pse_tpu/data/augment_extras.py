@@ -150,6 +150,95 @@ def random_rotate(key: jax.Array, img: jax.Array, mask: jax.Array | None,
     return out, map_coordinates(mask, coords, order=0, mode="constant")
 
 
+def random_sized_crop(key: jax.Array, img: jax.Array, mask: jax.Array | None,
+                      size: int):
+    """RandomSizedCrop (custom_transforms.py:267-327): crop a random box with
+    area in [0.45, 1]x the image and aspect ratio in [0.5, 2] (sides swapped
+    with p=0.5), then resize to ``size`` (bilinear image / nearest mask).
+
+    The reference rejection-samples the box up to 10 times and falls back to
+    Scale+CenterCrop; under jit the box is clamped to fit instead (same
+    marginal distribution up to boundary effects, like ``random_eraser``).
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    ka, kr, ks, kx, ky = jax.random.split(key, 5)
+    h, w = img.shape[:2]
+    area = h * w
+    target_area = jax.random.uniform(ka, minval=0.45, maxval=1.0) * area
+    aspect = jax.random.uniform(kr, minval=0.5, maxval=2.0)
+    bw = jnp.round(jnp.sqrt(target_area * aspect))
+    bh = jnp.round(jnp.sqrt(target_area / aspect))
+    swap = jax.random.uniform(ks) < 0.5
+    bw, bh = jnp.where(swap, bh, bw), jnp.where(swap, bw, bh)
+    bw = jnp.clip(bw, 1, w)
+    bh = jnp.clip(bh, 1, h)
+    x1 = jnp.floor(jax.random.uniform(kx) * (w - bw + 1))
+    y1 = jnp.floor(jax.random.uniform(ky) * (h - bh + 1))
+
+    # PIL resize of the (bh, bw) crop to (size, size): src = (i+0.5)*scale-0.5
+    def src(out_n, box_len, box_off, in_len):
+        s = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (box_len / out_n) - 0.5
+        return jnp.clip(s + box_off, 0.0, in_len - 1.0)
+
+    ys = src(size, bh, y1, h)
+    xs = src(size, bw, x1, w)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = [yy, xx]
+    out = jnp.stack([
+        map_coordinates(img[..., c], coords, order=1, mode="nearest")
+        for c in range(img.shape[-1])], axis=-1)
+    if mask is None:
+        return out, None
+    return out, map_coordinates(mask, coords, order=0, mode="nearest")
+
+
+def _binary_morph_cross(m: jax.Array, iterations: int, dilate: bool) -> jax.Array:
+    """scipy binary_dilation/erosion with the default 4-connectivity cross
+    structure, iterated; zero border."""
+    m = m > 0.5
+    for _ in range(iterations):
+        pad = jnp.pad(m, 1, constant_values=False)
+        n = (pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:])
+        if dilate:
+            m = m | n[0] | n[1] | n[2] | n[3]
+        else:
+            m = m & n[0] & n[1] & n[2] & n[3]
+    return m
+
+
+def get_boundary(mask_2ch: jax.Array, width: int = 5) -> jax.Array:
+    """GetBoundary (custom_transforms.py:435-452, constructed by the Normalize
+    transforms but never invoked in the active pipeline — provided for the full
+    reference surface): per-class boundary band = dilation(w) XOR erosion(w) on
+    the (H,W,2) [cup, disc] mask; returns uint8 union."""
+    cup, disc = mask_2ch[..., 0], mask_2ch[..., 1]
+    bands = []
+    for m in (cup, disc):
+        d = _binary_morph_cross(m, width, dilate=True)
+        e = _binary_morph_cross(m, width, dilate=False)
+        bands.append(d ^ e)  # dila+eros with 2->0 is exactly XOR
+    return (bands[0] | bands[1]).astype(jnp.uint8)
+
+
+def normalize_single_label(img_255: jax.Array, mask_u8: jax.Array,
+                           label: str | None = None):
+    """Normalize_single_label (custom_transforms.py:501-538): image /127.5 - 1;
+    the mask is re-thresholded into the 255/128/0 gray encoding
+    (>200 -> 255 bg, 50<v<201 -> 128 disc, else 0 cup) and binarized by
+    ``label``: OC -> cup only, OD -> disc∪cup. Returns (img, (H,W,1) mask)."""
+    img = img_255 / 127.5 - 1.0
+    m = jnp.asarray(mask_u8)
+    enc = jnp.where(m > 200, 255, jnp.where((m > 50) & (m < 201), 128, 0))
+    if label == "OC":
+        out = (enc == 0).astype(jnp.float32)
+    elif label == "OD":
+        out = (enc < 255).astype(jnp.float32)
+    else:
+        out = enc.astype(jnp.float32)
+    return img, out[..., None]
+
+
 def center_crop(img: jax.Array, size: int) -> jax.Array:
     """CenterCrop (custom_transforms.py:179-204)."""
     h, w = img.shape[:2]
