@@ -9,12 +9,13 @@ Prints ONE JSON line:
                   default JAX backend (the TPU chip under the driver), in the
                   recommended production training mode: bf16 MXU compute with
                   f32 master params / BN stats / losses (hparam
-                  ``compute_dtype=bfloat16``). Convergence of this mode is
-                  gated by tests/test_train_step.py::test_bf16_mode_step_learns
-                  and was verified end-to-end on-chip (synthetic blobs, 40
-                  epochs -> held-out Dice 0.999; see README). Measured on the
-                  same chip: f32-HIGHEST (strict reference-parity numerics)
-                  runs ~1.5x slower (10.8ms vs 7.2ms per step).
+                  ``compute_dtype=bfloat16``), driven as the Trainer does — one
+                  lax.scan program per epoch. Convergence of this mode is gated
+                  by tests/test_train_step.py::test_bf16_mode_step_learns and
+                  was verified end-to-end on-chip. Timed with forced value
+                  fetches (see note in ``jax_train_ips`` — ``block_until_ready``
+                  is unreliable on the axon tunnel and earlier rounds' numbers
+                  measured enqueue rate, not execution).
 ``vs_baseline`` — ratio vs the PyTorch-CPU reference-equivalent iteration
                   (BASELINE.md target: >=5x). The torch baseline mirrors the
                   reference's per-iteration work (6 U-Net-scale forwards,
@@ -156,15 +157,24 @@ def jax_train_ips() -> float:
         out_dir="/tmp/bench_run", label="OD", batch_size=B, max_epoch=1,
         interval_validate=99, seed=1)
 
+    # production path: one lax.scan program per epoch (Trainer.train's driver).
+    # MEASUREMENT NOTE: on this backend (axon tunnel) ``block_until_ready`` is
+    # unreliable — it can return at enqueue time, which silently measures
+    # dispatch rate instead of execution (observed: ~0.3 ms/step "timings" for
+    # a step whose true device time is ~350 ms). Every timing below therefore
+    # forces an actual value fetch; the ~40 ms dispatch+fetch overhead is <1%
+    # of a 30-step scan.
     key = jax.random.PRNGKey(0)
-    state, m = trainer.fused_step(trainer.state, trainer.data, key)  # compile
-    jax.block_until_ready(m["loss_seg"])
     n = 30
-    t0 = time.time()
-    for i in range(n):
-        state, m = trainer.fused_step(state, trainer.data, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss_seg"])
-    return B / ((time.time() - t0) / n)
+    state, m = trainer.epoch_step(trainer.state, trainer.data, key, 0, n)  # compile
+    float(np.asarray(m["loss_seg"]))
+    dts = []
+    for rep in (1, 2):
+        t0 = time.time()
+        state, m = trainer.epoch_step(state, trainer.data, key, rep * n, n)
+        assert np.isfinite(float(np.asarray(m["loss_seg"])))
+        dts.append(time.time() - t0)
+    return B / (min(dts) / n)
 
 
 def main():

@@ -1,0 +1,141 @@
+"""Where does the training step's device time go? (marginal-scan methodology)
+
+axon's ``block_until_ready`` is unreliable (it sometimes returns at enqueue),
+so every timing here drives N vs 3N iterations of a ``lax.scan`` whose carry
+threads the computation, then FORCES a value fetch; the marginal
+``(T_3N - T_N) / 2N`` cancels dispatch/fetch overhead and measures pure
+device time per iteration.
+
+Run on the real chip: ``python scripts/bench_step_breakdown.py``.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import numpy as np
+
+B, HW = 9, 256
+N = 10
+
+
+def marginal_ms(make_scan, label):
+    """make_scan(n) -> zero-arg fn returning a scalar that depends on n chained
+    iterations. Times n=N and n=3N with a forced fetch; prints marginal ms."""
+    fns = {n: make_scan(n) for n in (N, 3 * N)}
+    for n, f in fns.items():  # compile + warm
+        float(np.asarray(f()))
+    times = {}
+    for n, f in fns.items():
+        t0 = time.time()
+        float(np.asarray(f()))
+        times[n] = time.time() - t0
+    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
+    print(f"{label:34s} {ms:9.2f} ms/iter   (T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)")
+    return ms
+
+
+def scan_of(body, x0, n):
+    @jax.jit
+    def run():
+        def step(c, _):
+            return body(c), None
+        out, _ = jax.lax.scan(step, x0, None, length=n)
+        return jax.tree.map(lambda a: jnp.sum(a.astype(jnp.float32)), out) \
+            if not hasattr(out, "ndim") else jnp.sum(out.astype(jnp.float32))
+    return run
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0])
+
+    from wt_pse_tpu.config import default_hparams
+    from wt_pse_tpu.models.common import ModelConfig
+    from wt_pse_tpu.models.shape_prior import ShapeStudent
+    from wt_pse_tpu.models.wt_pse import WTPSE
+
+    for dtype_name in ("bfloat16", None):
+        hp = default_hparams("WT_PSE")
+        if dtype_name:
+            hp["compute_dtype"] = dtype_name
+        cfg = ModelConfig.from_hparams(hp)
+        main_net = WTPSE(cfg)
+        img = jnp.zeros((B, HW, HW, 3))
+        msk = jnp.zeros((B, HW, HW, 1))
+        v = main_net.init({"params": jax.random.PRNGKey(0)}, img, msk,
+                          method=WTPSE.initialize)
+        tag = dtype_name or "f32-HIGHEST"
+
+        # 1. one U-Net predict forward (inference path, no BN mutation)
+        def fwd(x):
+            return main_net.apply(v, x, method=WTPSE.predict_no_shape)
+
+        marginal_ms(lambda n: scan_of(
+            lambda x: x * 0.999 + fwd(x) * 1e-3, img, n),  # (…,1) broadcasts
+            f"[{tag}] U-Net predict fwd")
+
+        # 2. fwd + bwd (grad wrt input, params fixed)
+        def fb(x):
+            g = jax.grad(lambda y: jnp.sum(fwd(y)))(x)
+            return x * 0.999 + g * 1e-6
+
+        marginal_ms(lambda n: scan_of(fb, img, n), f"[{tag}] U-Net fwd+bwd")
+
+    # 3. the full production step (bf16), via the Trainer's own scan driver
+    from wt_pse_tpu.data.fundus import FundusDomain
+    from wt_pse_tpu.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+
+    def dom(n):
+        return FundusDomain(
+            images=(rng.rand(n, HW, HW, 3) * 255).astype(np.uint8),
+            labels=rng.choice([0, 128, 255], size=(n, HW, HW)).astype(np.uint8),
+            names=[str(i) for i in range(n)])
+
+    val = FundusDomain(
+        images=(rng.rand(2, HW, HW, 3) * 255).astype(np.uint8),
+        labels=[rng.choice([0, 128, 255], size=(412, 412)).astype(np.uint8)
+                for _ in range(2)],
+        names=["a", "b"])
+
+    variants = [
+        ("full step bf16", {"compute_dtype": "bfloat16"}),
+        ("full step f32", {}),
+        ("no whitening bf16", {"compute_dtype": "bfloat16", "whitening": False,
+                               "shape_prior": True}),
+        ("seg-only bf16 (no shape/whiten)", {"compute_dtype": "bfloat16",
+                                             "whitening": False,
+                                             "shape_prior": False}),
+    ]
+    for label, over in variants:
+        hp = default_hparams("WT_PSE")
+        hp.update(over)
+        tr = Trainer(hparams=hp, train_domains=[dom(40), dom(40), dom(40)],
+                     val_domain=val, out_dir="/tmp/bench_breakdown", label="OD",
+                     batch_size=B, max_epoch=1, interval_validate=99, seed=1,
+                     val_visualization=False)
+
+        def make(n, tr=tr):
+            def run():
+                st, m = tr.epoch_step(
+                    jax.tree.map(jnp.copy, tr.state), tr.data,
+                    jax.random.PRNGKey(0), 0, n)
+                return m["loss_seg"]
+            return run
+
+        marginal_ms(make, label)
+
+
+if __name__ == "__main__":
+    main()

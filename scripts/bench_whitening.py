@@ -21,14 +21,31 @@ from wt_pse_tpu.ops.whitening import feature_covariance
 from wt_pse_tpu.ops.whitening_pallas import feature_covariance_pallas
 
 
-def timeit(fn, *args, n=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+def timeit(fn, x, n=50):
+    """Chained scan + forced value fetch. block_until_ready is unreliable on
+    the axon tunnel (can return at enqueue), and an un-chained loop measures
+    dispatch rate. The scan carry perturbs the input each iteration so XLA
+    cannot hoist ``fn`` out of the loop; the marginal over two scan lengths
+    cancels the dispatch/fetch constant."""
+    import numpy as np
+
+    def chained(k):
+        @jax.jit
+        def run(z):
+            def body(c, _):
+                return c + 1e-6 * jnp.sum(fn(z * (1.0 + 1e-9 * c))), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return out
+        return run
+
+    times = {}
+    for k in (n, 3 * n):
+        r = chained(k)
+        float(np.asarray(r(x)))  # compile + warm
+        t0 = time.perf_counter()
+        float(np.asarray(r(x)))
+        times[k] = time.perf_counter() - t0
+    return (times[3 * n] - times[n]) / (2 * n) * 1e3  # ms
 
 
 def main():
@@ -36,9 +53,8 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(0), (9, 256, 256, 16), jnp.float32)
 
     for name, fn in [("xla", feature_covariance), ("pallas", feature_covariance_pallas)]:
-        fwd = jax.jit(fn)
-        ms = timeit(fwd, z)
-        grad = jax.jit(jax.grad(lambda x: jnp.sum(fn(x) ** 2)))
+        ms = timeit(fn, z)
+        grad = jax.grad(lambda x: jnp.sum(fn(x) ** 2))
         ms_g = timeit(grad, z)
         # roofline: one pass over 9*256*256*16*4 B = 37.7 MB (fwd); ~3 passes for bwd
         print(f"{name:7s} fwd {ms:7.3f} ms   fwd+bwd {ms_g:7.3f} ms")

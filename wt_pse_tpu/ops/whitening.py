@@ -35,10 +35,23 @@ EPS = 1e-5
 
 
 def feature_covariance(z: jax.Array) -> jax.Array:
-    """Covariance of an NHWC feature map: (B, C, C) = f f^T / (HW-1) + eps*I."""
+    """Covariance of an NHWC feature map: (B, C, C) = f f^T / (HW-1) + eps*I.
+
+    Precision: f32 inputs contract with HIGHEST (true f32 — the ambient TPU
+    default silently degrades to bf16-level, which breaks loss parity). bf16
+    inputs (mixed-precision mode) contract natively on the MXU with f32
+    accumulation — the operands are already bf16, so a HIGHEST f32 contraction
+    could not recover accuracy and costs ~6x the MXU passes.
+    """
     b, h, w, c = z.shape
-    f = z.reshape(b, h * w, c).astype(jnp.float32)
-    cov = jnp.einsum("bpc,bpd->bcd", f, f, precision=jax.lax.Precision.HIGHEST)
+    f = z.reshape(b, h * w, c)
+    if f.dtype == jnp.bfloat16:
+        cov = jnp.einsum("bpc,bpd->bcd", f, f,
+                         preferred_element_type=jnp.float32)
+    else:
+        f = f.astype(jnp.float32)
+        cov = jnp.einsum("bpc,bpd->bcd", f, f,
+                         precision=jax.lax.Precision.HIGHEST)
     cov = cov / (h * w - 1)
     return cov + EPS * jnp.eye(c, dtype=jnp.float32)
 

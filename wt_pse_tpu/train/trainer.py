@@ -89,6 +89,7 @@ class Trainer:
         fast_validation: bool = False,
         tensorboard: bool = False,
         val_visualization: bool = True,
+        scan_epochs: bool = True,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -146,6 +147,21 @@ class Trainer:
             return train_step(state, batch, ks)
 
         self.fused_step = jax.jit(fused, donate_argnums=(0,))
+
+        def epoch(state, data, key, first_step, n_steps):
+            """One whole epoch as a single XLA program: ``lax.scan`` over the
+            fused step. The per-step host dispatch of a python loop costs ~ms
+            each over a tunneled device; driving the epoch from the device
+            removes it entirely. Same PRNG stream as the python loop
+            (fold_in(run_key, absolute_step)). Returns per-epoch metric means."""
+
+            def body(st, i):
+                return fused(st, data, jax.random.fold_in(key, first_step + i))
+
+            state, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
+            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self.epoch_step = jax.jit(epoch, donate_argnums=(0,), static_argnums=(4,))
         if algorithm == "Unet_nips2023_joint_shape_regularization":
             from wt_pse_tpu.train.eval import make_predict_fn_joint
 
@@ -180,6 +196,7 @@ class Trainer:
             self._val_od_256 = np.stack(od256)
             self._val_oc_256 = np.stack(oc256)
 
+        self.scan_epochs = scan_epochs
         self.best = {"objective": 0.0, "epoch": -1}
         self.best_list = [0.0] * 6
         self.epoch = 0
@@ -260,7 +277,9 @@ class Trainer:
         st = self.state
         for i in range(self.profile_steps):
             st, m = self.fused_step(st, self.data, jax.random.fold_in(key, i))
-        jax.block_until_ready(m["loss_seg"])
+        # force a value fetch: on the axon tunnel block_until_ready can return
+        # at enqueue, which would stop the trace before the work runs
+        float(np.asarray(m["loss_seg"]))
         jax.profiler.stop_trace()
         self.state = st
         print(f"profiler trace ({self.profile_steps} steps) -> {self.profile_dir}")
@@ -271,11 +290,19 @@ class Trainer:
         for epoch in range(self.epoch, self.max_epoch):
             self.epoch = epoch
             t0 = time.time()
-            metrics = {}
-            for it in range(self.iter_per_epoch):
-                step_key = jax.random.fold_in(
-                    self.run_key, epoch * self.iter_per_epoch + it)
-                self.state, metrics = self.fused_step(self.state, self.data, step_key)
+            if self.scan_epochs:
+                # whole epoch = ONE device program (lax.scan over the fused
+                # step): no per-step host dispatch. Metrics are epoch means.
+                self.state, metrics = self.epoch_step(
+                    self.state, self.data, self.run_key,
+                    epoch * self.iter_per_epoch, self.iter_per_epoch)
+            else:
+                metrics = {}
+                for it in range(self.iter_per_epoch):
+                    step_key = jax.random.fold_in(
+                        self.run_key, epoch * self.iter_per_epoch + it)
+                    self.state, metrics = self.fused_step(
+                        self.state, self.data, step_key)
             # one host sync per epoch for the log line — stacked into a single
             # device->host transfer (per-scalar fetches cost one link RTT each,
             # ~seconds/epoch over a tunneled device)
