@@ -27,22 +27,24 @@ def test_nan_rollback(tmp_path):
                 max_epoch=4, interval_validate=99, seed=1, image_size=32,
                 nan_recovery=True)
 
-    real_step = t.fused_step
-    calls = {"n": 0}
+    # patch the production (scan) driver; epoch index = first_step // iters
+    real_step = t.epoch_step
+    calls = {"epochs": []}
 
-    def flaky_step(state, data, key):
-        calls["n"] += 1
-        state, metrics = real_step(state, data, key)
-        if calls["n"] == 2 * t.iter_per_epoch:  # poison end of epoch 2
+    def flaky_step(state, data, key, first_step, n_steps):
+        epoch = first_step // t.iter_per_epoch
+        calls["epochs"].append(epoch)
+        state, metrics = real_step(state, data, key, first_step, n_steps)
+        if epoch == 1:  # poison the second epoch
             metrics = dict(metrics)
             metrics["loss_seg"] = jnp.asarray(float("nan"))
         return state, metrics
 
-    t.fused_step = flaky_step
+    t.epoch_step = flaky_step
     best = t.train()  # must NOT raise
     assert len(best) == 6
     # training continued past the poisoned epoch
-    assert calls["n"] == 4 * t.iter_per_epoch
+    assert calls["epochs"] == [0, 1, 2, 3]
     assert np.isfinite(
         float(jax.tree.leaves(t.state.od.params)[0].sum()))
 
@@ -57,14 +59,14 @@ def test_nan_without_recovery_raises(tmp_path):
                 out_dir=str(tmp_path / "r2"), label="OD", batch_size=3,
                 max_epoch=2, interval_validate=99, seed=1, image_size=32)
 
-    real_step = t.fused_step
+    real_step = t.epoch_step
 
-    def poison(state, data, key):
-        state, metrics = real_step(state, data, key)
+    def poison(state, data, key, first_step, n_steps):
+        state, metrics = real_step(state, data, key, first_step, n_steps)
         metrics = dict(metrics)
         metrics["loss_seg"] = jnp.asarray(float("nan"))
         return state, metrics
 
-    t.fused_step = poison
+    t.epoch_step = poison
     with pytest.raises(ValueError, match="nan"):
         t.train()
