@@ -50,6 +50,23 @@ def test_argv_update_forms():
     assert cfg["a"] == 2 and cfg["b"]["c"] == 3 and cfg["flag"] is True
 
 
+def test_repair_left_argv(tmp_path):
+    """argparse steals unknown flags' values into the configs positional; the
+    CLI re-pairs them (see cli/train._repair_left_argv)."""
+    from wt_pse_tpu.cli.train import _repair_left_argv
+
+    yml = tmp_path / "o.yaml"
+    yml.write_text("x: 1\n")
+    left, configs = _repair_left_argv(
+        ["--compute_dtype", "--margin=0.5", "--flag"],
+        [str(yml), "bfloat16", "2"])
+    assert left == ["--compute_dtype", "bfloat16", "--margin=0.5", "--flag", "2"]
+    assert configs == [str(yml)]
+    # no orphans -> untouched
+    left, configs = _repair_left_argv(["--a=1"], [str(yml)])
+    assert left == ["--a=1"] and configs == [str(yml)]
+
+
 def test_orbax_roundtrip(tmp_path):
     from wt_pse_tpu.models.common import ModelConfig
     from wt_pse_tpu.models.shape_prior import ShapeStudent

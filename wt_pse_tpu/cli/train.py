@@ -54,13 +54,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--running_times", type=int, default=3)
+    p.add_argument("--compile-cache",
+                   default=os.path.expanduser("~/.cache/wt_pse_tpu_xla"),
+                   help="persistent XLA compile-cache dir (TPU compiles are "
+                        "minutes-slow over remote links; cached they are "
+                        "instant). Pass an empty string to disable. "
+                        "[addition over the reference flag surface]")
     return p
+
+
+def _repair_left_argv(left_argv: list[str], configs: list[str]):
+    """argparse's ``configs`` positional (nargs='*') steals the value of any
+    unknown ``--key value`` pair, leaving a dangling ``--key`` in the leftovers
+    (so ``--compute_dtype bfloat16`` silently became ``compute_dtype=True`` —
+    the reference's sconf pipeline has the same trap, train.py:44/207). Re-pair
+    each dangling key with the next non-file positional, in order. ``--key=value``
+    never hits this.
+    """
+    import os as _os
+
+    orphans = [c for c in configs if not _os.path.exists(c)]
+    real_configs = [c for c in configs if _os.path.exists(c)]
+    out, oi = [], 0
+    for j, tok in enumerate(left_argv):
+        out.append(tok)
+        dangling = (tok.startswith("--") and "=" not in tok
+                    and (j + 1 >= len(left_argv)
+                         or left_argv[j + 1].startswith("--")))
+        if dangling and oi < len(orphans):
+            out.append(orphans[oi])
+            oi += 1
+    return out, real_configs + orphans[oi:]
 
 
 def main(args=None, left_argv=None):
     parser = build_parser()
     if args is None:
         args, left_argv = parser.parse_known_args()
+    left_argv, args.configs = _repair_left_argv(
+        list(left_argv or []), list(args.configs))
+    if getattr(args, "compile_cache", None):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     result = {k: [] for k in ("DSC_OC", "HD_OC", "ASD_OC", "DSC_OD", "HD_OD", "ASD_OD")}
 
     out_root = args.out or os.path.join(

@@ -348,4 +348,10 @@ class Trainer:
                     self.logger.best_score(val)
                     save_ensemble(
                         os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
+                elif (epoch + 1) % 300 == 0:
+                    # reference parity (Trainer.py:293-303): non-best validations
+                    # still write a periodic resume-style checkpoint every 300
+                    # epochs; ours carries optimizer state, so resume is real
+                    save_ensemble(
+                        os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
         return list(self.best_list)
