@@ -65,6 +65,27 @@ def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
     return nets, variables
 
 
+def build_networks_from_orbax(model_file: str, hparams: dict,
+                              n_classes: int = 1):
+    """Load an orbax ensemble directory written by this framework's Trainer
+    (``save_ensemble``) — so checkpoints trained here are evaluable without a
+    torch round-trip."""
+    import jax
+
+    from wt_pse_tpu.io.checkpoint import restore_ensemble
+    from wt_pse_tpu.train.state import init_ensemble
+
+    cfg = ModelConfig.from_hparams(hparams, n_classes=n_classes)
+    nets = (WTPSE(cfg), ShapeStudent(cfg),
+            WTPSE(cfg, two_step=True), ShapeStudent(cfg))
+    state, _ = init_ensemble(*nets, (1, 256, 256, 3), jax.random.PRNGKey(0))
+    state = restore_ensemble(model_file, state)
+    variables = (state.od.variables, state.od_shape.variables,
+                 state.oc.variables, state.oc_shape.variables)
+    print(f"orbax ensemble restored from {model_file} (step {int(state.step)})")
+    return nets, variables
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--datasetTrain", nargs="+", type=int, default=[1, 2, 3])
@@ -86,8 +107,12 @@ def main(argv=None):
     hparams = load_config(hparams, yamls, left)
 
     n_classes = 1 if args.label in ("OC", "OD") else 2
-    nets, variables = build_networks_from_torch_ckpt(
-        args.model_file, hparams, n_classes)
+    if os.path.isdir(args.model_file):  # orbax dir from our Trainer
+        nets, variables = build_networks_from_orbax(
+            args.model_file, hparams, n_classes)
+    else:  # reference-format .pth.tar
+        nets, variables = build_networks_from_torch_ckpt(
+            args.model_file, hparams, n_classes)
     predict_fn = make_predict_fn(*nets)
 
     domain = load_fundus(args.data_dir, "test", args.datasetTest, state="prediction")
