@@ -66,18 +66,25 @@ def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
 
 
 def build_networks_from_orbax(model_file: str, hparams: dict,
-                              n_classes: int = 1):
+                              n_classes: int = 1, algorithm: str = "WT_PSE"):
     """Load an orbax ensemble directory written by this framework's Trainer
     (``save_ensemble``) — so checkpoints trained here are evaluable without a
-    torch round-trip."""
+    torch round-trip. Honors ``algorithm`` so joint-variant checkpoints restore
+    into the matching (JointShapeReg) template."""
     import jax
 
     from wt_pse_tpu.io.checkpoint import restore_ensemble
     from wt_pse_tpu.train.state import init_ensemble
 
     cfg = ModelConfig.from_hparams(hparams, n_classes=n_classes)
-    nets = (WTPSE(cfg), ShapeStudent(cfg),
-            WTPSE(cfg, two_step=True), ShapeStudent(cfg))
+    if algorithm == "Unet_nips2023_joint_shape_regularization":
+        from wt_pse_tpu.models.joint import JointShapeReg
+
+        nets = (JointShapeReg(cfg), ShapeStudent(cfg),
+                JointShapeReg(cfg, two_step=True), ShapeStudent(cfg))
+    else:
+        nets = (WTPSE(cfg), ShapeStudent(cfg),
+                WTPSE(cfg, two_step=True), ShapeStudent(cfg))
     state, _ = init_ensemble(*nets, (1, 256, 256, 3), jax.random.PRNGKey(0))
     state = restore_ensemble(model_file, state)
     variables = (state.od.variables, state.od_shape.variables,
@@ -101,19 +108,28 @@ def main(argv=None):
                    help="write contour overlays (original_image/ + overlay/)")
     p.add_argument("configs", nargs="*")
     args, left = p.parse_known_args(argv)
+    from wt_pse_tpu.cli.train import _repair_left_argv  # same argparse trap
+
+    left, args.configs = _repair_left_argv(list(left), list(args.configs))
 
     hparams = default_hparams(args.algorithm, args.dataset)
     yamls = [c for c in ["config.yaml"] + list(args.configs) if os.path.exists(c)]
     hparams = load_config(hparams, yamls, left)
 
     n_classes = 1 if args.label in ("OC", "OD") else 2
+    joint = args.algorithm == "Unet_nips2023_joint_shape_regularization"
     if os.path.isdir(args.model_file):  # orbax dir from our Trainer
         nets, variables = build_networks_from_orbax(
-            args.model_file, hparams, n_classes)
-    else:  # reference-format .pth.tar
+            args.model_file, hparams, n_classes, args.algorithm)
+    else:  # reference-format .pth.tar (WT_PSE 4-net layout)
         nets, variables = build_networks_from_torch_ckpt(
             args.model_file, hparams, n_classes)
-    predict_fn = make_predict_fn(*nets)
+    if joint:
+        from wt_pse_tpu.train.eval import make_predict_fn_joint
+
+        predict_fn = make_predict_fn_joint(nets[0], nets[2])
+    else:
+        predict_fn = make_predict_fn(*nets)
 
     domain = load_fundus(args.data_dir, "test", args.datasetTest, state="prediction")
     od_masks, oc_masks = [], []

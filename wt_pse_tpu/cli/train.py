@@ -73,8 +73,14 @@ def _repair_left_argv(left_argv: list[str], configs: list[str]):
     """
     import os as _os
 
-    orphans = [c for c in configs if not _os.path.exists(c)]
-    real_configs = [c for c in configs if _os.path.exists(c)]
+    def looks_like_config(c):
+        # never re-pair something the user plainly meant as a YAML overlay —
+        # a typo'd path should surface as "overlay not found", not silently
+        # become some flag's value
+        return c.endswith((".yaml", ".yml")) or _os.path.exists(c)
+
+    orphans = [c for c in configs if not looks_like_config(c)]
+    real_configs = [c for c in configs if looks_like_config(c)]
     out, oi = [], 0
     for j, tok in enumerate(left_argv):
         out.append(tok)
@@ -84,7 +90,13 @@ def _repair_left_argv(left_argv: list[str], configs: list[str]):
         if dangling and oi < len(orphans):
             out.append(orphans[oi])
             oi += 1
-    return out, real_configs + orphans[oi:]
+    if oi < len(orphans):
+        print(f"WARNING: ignoring unrecognized positional args {orphans[oi:]} "
+              "(not existing config files, and no dangling --key to pair with)")
+    for c in real_configs:
+        if not _os.path.exists(c):
+            print(f"WARNING: config overlay not found: {c}")
+    return out, real_configs
 
 
 def main(args=None, left_argv=None):

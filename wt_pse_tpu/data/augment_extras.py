@@ -235,7 +235,10 @@ def normalize_single_label(img_255: jax.Array, mask_u8: jax.Array,
     elif label == "OD":
         out = (enc < 255).astype(jnp.float32)
     else:
-        out = enc.astype(jnp.float32)
+        # reference parity: with label=None both rebinarization branches are
+        # skipped and the RAW mask values pass through (custom_transforms.py:
+        # 523-530 only touch __mask under the OC/OD branches)
+        out = m.astype(jnp.float32)
     return img, out[..., None]
 
 

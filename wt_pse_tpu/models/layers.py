@@ -150,8 +150,12 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
         return x
     mh = _linear_resize_matrix(h, oh)  # (oh, h)
     mw = _linear_resize_matrix(w, ow)  # (ow, w)
-    if x.dtype == jnp.bfloat16 and oh % h == 0 and ow % w == 0:
-        # Integer upscales have dyadic interpolation weights (0.25/0.75 for 2x)
+    def _pow2_factor(out_n, in_n):
+        f = out_n // in_n
+        return out_n % in_n == 0 and f & (f - 1) == 0
+
+    if x.dtype == jnp.bfloat16 and _pow2_factor(oh, h) and _pow2_factor(ow, w):
+        # Power-of-two upscales have dyadic interpolation weights (0.25/0.75 for 2x)
         # that are exact in bf16, and bf16 products accumulate exactly in the
         # f32 MXU accumulator; the only deviation from the f32-HIGHEST path is
         # one extra bf16 round between the two axis passes (<=1 ulp on

@@ -161,8 +161,10 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
             img = jnp.asarray(stacked / 127.5 - 1.0)
             out_od, out_oc = predict_fn(*variables, img)
             if resize == "host":
-                od_native = _resize_host(np.asarray(out_od), native_hw)[: len(chunk)]
-                oc_native = _resize_host(np.asarray(out_oc), native_hw)[: len(chunk)]
+                # slice the zero-padded rows off BEFORE the host resize — the
+                # padding exists only for the compiled predict shape
+                od_native = _resize_host(np.asarray(out_od)[: len(chunk)], native_hw)
+                oc_native = _resize_host(np.asarray(out_oc)[: len(chunk)], native_hw)
             else:
                 od_native = np.asarray(_resize_logits(out_od, native_hw))[: len(chunk)]
                 oc_native = np.asarray(_resize_logits(out_oc, native_hw))[: len(chunk)]
