@@ -153,13 +153,15 @@ class ShapeStudent(nn.Module):
         feats = self.wt_model(image)
         return self(feats[-1], train=train, sample=False)
 
-    def update_forward(self, image: jax.Array, train: bool = True):
+    def update_forward(self, image: jax.Array, train: bool = True,
+                       eps: jax.Array | None = None):
         """The student half of the distillation step (shape_networks.py:517-526):
         own DeepWT -> trunk -> sampled (z, mu); returns (z, mu, wt_feats) so the
-        caller can compute the student whitening losses on wt_feats[0:2]."""
+        caller can compute the student whitening losses on wt_feats[0:2].
+        ``eps`` injects the N(0,1) draw (parity tests)."""
         feats = self.wt_model(image)
         x = feats[-1] if self.cfg.whitening else image
-        z, mu = self(x, train=train, sample=True)
+        z, mu = self(x, train=train, sample=True, eps=eps)
         return z, mu, feats
 
     def initialize(self, image):

@@ -68,24 +68,31 @@ def init_ensemble(main_od, stud_od, main_oc, stud_oc, image_shape, rng,
     Default learning rates match train.py:197-200."""
     import jax.numpy as jnp
 
-    img = jnp.zeros(image_shape, jnp.float32)
-    mask = jnp.zeros(image_shape[:3] + (1,), jnp.float32)
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
     txs = {
         "od": reference_adam(lr_od),
         "od_shape": reference_adam(lr_od_shape),
         "oc": reference_adam(lr_oc),
         "oc_shape": reference_adam(lr_oc_shape),
     }
-    state = WTPSETrainState(
-        od=NetState.create(
-            main_od.init({"params": k1}, img, mask, method=type(main_od).initialize), txs["od"]),
-        od_shape=NetState.create(
-            stud_od.init({"params": k2}, img, method=type(stud_od).initialize), txs["od_shape"]),
-        oc=NetState.create(
-            main_oc.init({"params": k3}, img, mask, method=type(main_oc).initialize), txs["oc"]),
-        oc_shape=NetState.create(
-            stud_oc.init({"params": k4}, img, method=type(stud_oc).initialize), txs["oc_shape"]),
-        step=jax.numpy.zeros((), jax.numpy.int32),
-    )
-    return state, txs
+
+    # ONE jitted program for the whole 4-net init: run eagerly, every small init
+    # op dispatches as its own tiny executable — ~0.35 s each over a tunneled
+    # device, tens of seconds total (measured round 3). Jitted, it is a single
+    # compile amortized by the persistent cache.
+    def _init(rng):
+        img = jnp.zeros(image_shape, jnp.float32)
+        mask = jnp.zeros(image_shape[:3] + (1,), jnp.float32)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        return WTPSETrainState(
+            od=NetState.create(
+                main_od.init({"params": k1}, img, mask, method=type(main_od).initialize), txs["od"]),
+            od_shape=NetState.create(
+                stud_od.init({"params": k2}, img, method=type(stud_od).initialize), txs["od_shape"]),
+            oc=NetState.create(
+                main_oc.init({"params": k3}, img, mask, method=type(main_oc).initialize), txs["oc"]),
+            oc_shape=NetState.create(
+                stud_oc.init({"params": k4}, img, method=type(stud_oc).initialize), txs["oc_shape"]),
+            step=jax.numpy.zeros((), jax.numpy.int32),
+        )
+
+    return jax.jit(_init)(rng), txs
