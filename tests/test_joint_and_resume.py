@@ -60,6 +60,33 @@ def test_joint_algorithm_trains(fundus_root, tmp_path):
     assert "loss_kd" not in rec  # no distillation phases in the joint variant
 
 
+def test_joint_algorithm_with_whitening_trains(fundus_root, tmp_path):
+    """joint + whitening=True (algorithms.py:1522-1535): previously refused with
+    a ValueError; now the seg phases carry the whitening losses over the joint
+    net's own wt features. No distillation phases either way. Forward/loss math
+    is reference-parity-tested in test_reference_parity.py."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = dict(default_hparams("Unet_nips2023_joint_shape_regularization"))
+    hparams["whitening"] = True
+    train_doms, val_dom = _domains(fundus_root)
+    trainer = Trainer(
+        hparams=hparams, train_domains=train_doms, val_domain=val_dom,
+        out_dir=str(tmp_path / "joint_wt"), label="OD", batch_size=3,
+        max_epoch=2, interval_validate=4, seed=1, image_size=SIZE,
+        algorithm="Unet_nips2023_joint_shape_regularization",
+    )
+    best = trainer.train()
+    assert len(best) == 6
+    import json
+
+    rec = json.loads(
+        open(os.path.join(str(tmp_path / "joint_wt"), "metrics.jsonl")).readline())
+    assert np.isfinite(rec["loss_seg"]) and np.isfinite(rec["loss_seg_oc"])
+    assert "loss_kd" not in rec  # still no distillation phases
+    assert rec["loss_ins_wt"] > 0  # whitening losses active in the seg phases
+
+
 def test_resume_roundtrip(fundus_root, tmp_path):
     from wt_pse_tpu.io.checkpoint import save_ensemble
     from wt_pse_tpu.train.trainer import Trainer

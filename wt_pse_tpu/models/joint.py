@@ -74,11 +74,17 @@ class JointShapeReg(nn.Module):
             fused = jnp.concatenate([fused, z], axis=-1)
         return fused, att
 
-    def __call__(self, inputs, mask, wt_inputs, train: bool = True):
+    def __call__(self, inputs, mask, wt_inputs, train: bool = True,
+                 eps: jax.Array | None = None):
         """Training forward (reference .update() semantics minus the dead paths).
         ``mask`` is accepted for signature parity with WTPSE and ignored — the
         joint prior is x-conditioned only (algorithms.py:1473 passes mask=None).
-        Returns (logits, attention>0.75 mask or None, wt feature list or None)."""
+        ``eps`` injects the prior's N(0,1) draw (parity tests).
+        Returns (logits, attention>0.75 mask or None, wt feature list or None).
+        With ``whitening=True`` the caller computes the instance/domain whitening
+        losses over the returned wt features (algorithms.py:1522-1535 — the
+        joint variant uses the same summed-over-n-1, divided-by-n semantics as
+        the main WT_PSE net)."""
         del mask
         embedding = self.embed(inputs, train)
         att_mask = None
@@ -88,7 +94,7 @@ class JointShapeReg(nn.Module):
             # prior over its own features; quirk reparameterization lives in
             # ShapeStudent.__call__ (identical formula, algorithms.py:1435-1440)
             x = wt_feats[-1] if self.cfg.whitening else wt_inputs
-            z, _mu = self.prior_dist(x, train=train, sample=True)
+            z, _mu = self.prior_dist(x, train=train, sample=True, eps=eps)
             embedding, att = self._fuse(embedding, z)
             if att is not None:
                 att_mask = (att > 0.75).astype(jnp.float32)

@@ -64,9 +64,13 @@ class StepConfig:
 
     def __init__(self, hparams: dict, domain_num: int, per_domain_batch: int,
                  replicate_ref_quirks: bool = True, axis_name: str | None = None,
-                 axis_size: int = 1):
+                 axis_size: int = 1, distill: bool = True):
         self.whitening = bool(hparams.get("whitening", True))
         self.shape_prior = bool(hparams.get("shape_prior", True))
+        # distillation phases (2/4) exist only for the teacher/student algorithm;
+        # the joint variant trains its prior end-to-end inside the seg phases
+        # (algorithms.py:1445-1540 — its whitening losses still apply there)
+        self.distill = distill
         self.instance_wt_gm = float(hparams.get("instance_wt_gm", 1))
         self.domain_wt_gm = float(hparams.get("domain_wt_gm", 1))
         self.margin = float(hparams.get("margin", 0))
@@ -194,7 +198,7 @@ def make_train_step(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
         # ---- phase 2: OD shape distillation ---------------------------------
         m2 = {}
         od_shape = state.od_shape
-        if cfg.whitening and cfg.shape_prior:
+        if cfg.distill and cfg.whitening and cfg.shape_prior:
             od, od_shape, m2 = _shape_phase(
                 main_od, stud_od, txs["od_shape"], od, od_shape,
                 image, target_od, cfg, k2)
@@ -220,7 +224,7 @@ def make_train_step(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
         # ---- phase 4: OC shape distillation ---------------------------------
         m4 = {}
         oc_shape = state.oc_shape
-        if cfg.whitening and cfg.shape_prior:
+        if cfg.distill and cfg.whitening and cfg.shape_prior:
             oc, oc_shape, m4 = _shape_phase(
                 main_oc, stud_oc, txs["oc_shape"], oc, oc_shape,
                 image_roi, target_oc, cfg, k4)

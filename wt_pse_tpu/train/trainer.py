@@ -112,14 +112,13 @@ class Trainer:
         self.algorithm = algorithm
         if algorithm == "Unet_nips2023_joint_shape_regularization":
             # joint variant: same trunk, x-conditioned prior, no distillation
-            # (dispatch parity with Trainer.py:1032-1035)
+            # (dispatch parity with Trainer.py:1032-1035). With whitening=True
+            # the seg phases add the instance/domain whitening losses over the
+            # joint net's own wt features (algorithms.py:1522-1535) — its
+            # shipped hparams block disables whitening, but the combination is
+            # supported (and reference-parity-tested) here.
             from wt_pse_tpu.models.joint import JointShapeReg
 
-            if cfg.whitening:
-                raise ValueError(
-                    "the joint algorithm has no teacher/student pair; its "
-                    "hparams block disables whitening (hparams_registry.py:126)"
-                    " — whitening=True is unsupported with it")
             self.main_od = JointShapeReg(cfg)
             self.main_oc = JointShapeReg(cfg, two_step=True)
         else:
@@ -135,8 +134,10 @@ class Trainer:
             self.init_key, lr_od, lr_od_shape, lr_oc, lr_oc_shape)
 
         self.data = stack_domains(train_domains)
-        step_cfg = StepConfig(self.hparams, self.domain_num, self.per_domain_batch,
-                              replicate_ref_quirks)
+        step_cfg = StepConfig(
+            self.hparams, self.domain_num, self.per_domain_batch,
+            replicate_ref_quirks,
+            distill=(algorithm != "Unet_nips2023_joint_shape_regularization"))
         batch_fn = make_device_batch_fn(self.per_domain_batch)
         train_step = make_train_step(self.main_od, self.stud_od, self.main_oc,
                                      self.stud_oc, self.txs, step_cfg)
