@@ -234,7 +234,9 @@ def jax_train_ips() -> float:
     key = jax.random.PRNGKey(0)
     progress["note"] = "compiling epoch scan"
     state, m = trainer.epoch_step(trainer.state, trainer.data, key, 0, SCAN_N)
-    float(np.asarray(m["loss_seg"]))  # warmup + force compile-run completion
+    # epoch_step returns per-step metric stacks of shape (SCAN_N,); fetching
+    # the last element forces compile-run completion of the whole scan
+    float(np.asarray(m["loss_seg"])[-1])
     log(f"scan({SCAN_N}) compiled + warm")
 
     best = None
@@ -242,7 +244,7 @@ def jax_train_ips() -> float:
         progress["note"] = f"timed rep {rep}"
         t0 = time.time()
         state, m = trainer.epoch_step(state, trainer.data, key, rep * SCAN_N, SCAN_N)
-        assert np.isfinite(float(np.asarray(m["loss_seg"])))
+        assert np.isfinite(float(np.asarray(m["loss_seg"])[-1]))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
         progress["ips"] = B / (best / SCAN_N)

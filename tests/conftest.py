@@ -35,6 +35,13 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy e2e/parallel/whole-step tests (scripts/test.sh "
+        "deselects them by default; opt in with scripts/test.sh --slow)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

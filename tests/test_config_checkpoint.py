@@ -65,6 +65,11 @@ def test_repair_left_argv(tmp_path):
     # no orphans -> untouched
     left, configs = _repair_left_argv(["--a=1"], [str(yml)])
     assert left == ["--a=1"] and configs == [str(yml)]
+    # ambiguous: 2 dangling flags, 1 stolen value (a boolean flag would steal
+    # the value) -> refuse to pair, leave leftovers untouched
+    left, configs = _repair_left_argv(["--some-flag", "--compute_dtype"],
+                                      ["bfloat16"])
+    assert left == ["--some-flag", "--compute_dtype"] and configs == []
 
 
 def test_orbax_roundtrip(tmp_path):

@@ -9,6 +9,8 @@ from PIL import Image
 from wt_pse_tpu.config import default_hparams
 from wt_pse_tpu.data.fundus import load_fundus
 
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
+
 SIZE = 48
 
 

@@ -1,5 +1,7 @@
 """shard_map DP: the dryrun path plus single-vs-multi-device equivalence."""
 
+
+import pytest
 import numpy as np
 
 import jax
@@ -14,6 +16,8 @@ from wt_pse_tpu.parallel.dp import make_dp_train_step
 from wt_pse_tpu.parallel.mesh import data_mesh
 from wt_pse_tpu.train.state import init_ensemble
 from wt_pse_tpu.train.step import StepConfig, make_train_step
+
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
 
 
 def test_devices_available():

@@ -42,6 +42,8 @@ from wt_pse_tpu.models.shape_prior import ShapeStudent
 from wt_pse_tpu.models.wt_pse import WTPSE
 from wt_pse_tpu.ops.whitening import main_whitening_loss, student_whitening_loss
 
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
+
 REF = "/root/reference"
 B, HW = 9, 64  # 3 domains x 3 (per-domain-contiguous), small spatial for CPU speed
 DOMAINS, PDB = 3, 3

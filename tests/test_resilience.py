@@ -1,6 +1,7 @@
 """NaN auto-recovery rollback in the Trainer."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 from wt_pse_tpu.config import default_hparams
 from wt_pse_tpu.data.fundus import FundusDomain
 from wt_pse_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
 
 
 def _dom(n=6, hw=32, seed=0):
@@ -37,7 +40,8 @@ def test_nan_rollback(tmp_path):
         state, metrics = real_step(state, data, key, first_step, n_steps)
         if epoch == 1:  # poison the second epoch
             metrics = dict(metrics)
-            metrics["loss_seg"] = jnp.asarray(float("nan"))
+            # epoch_step returns per-step stacks of shape (n_steps,)
+            metrics["loss_seg"] = jnp.full((n_steps,), float("nan"))
         return state, metrics
 
     t.epoch_step = flaky_step
@@ -64,7 +68,7 @@ def test_nan_without_recovery_raises(tmp_path):
     def poison(state, data, key, first_step, n_steps):
         state, metrics = real_step(state, data, key, first_step, n_steps)
         metrics = dict(metrics)
-        metrics["loss_seg"] = jnp.asarray(float("nan"))
+        metrics["loss_seg"] = jnp.full((n_steps,), float("nan"))
         return state, metrics
 
     t.epoch_step = poison

@@ -1,5 +1,7 @@
 """GSPMD spatial/batch partitioning: sharded inference == unsharded inference."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -13,6 +15,8 @@ from wt_pse_tpu.parallel.mesh import data_mesh
 from wt_pse_tpu.parallel.spatial import batch_sharded, spatial_sharded
 from wt_pse_tpu.train.eval import make_predict_fn
 from wt_pse_tpu.train.state import init_ensemble
+
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
 
 
 def _setup(b=8, hw=64):

@@ -8,6 +8,8 @@ construction, phase-3 pos-weighted BCE-with-logits + Adam on the OC net
 The random phases' pieces are covered by eps-injected unit tests elsewhere.
 """
 
+
+import pytest
 import numpy as np
 import torch
 
@@ -23,6 +25,8 @@ from wt_pse_tpu.train.state import init_ensemble
 from wt_pse_tpu.train.step import StepConfig, make_train_step
 
 import torch_ref
+
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
 
 
 def nchw(x):

@@ -1,6 +1,7 @@
 """Smoke + semantics tests for the jitted 4-phase train step."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def _build(hparams, b=6, hw=32):
     return state, step
 
 
+@pytest.mark.slow  # ~95s: compiles the full 4-phase program
 def test_full_step_runs_and_losses_decrease(rng):
     hparams = default_hparams("WT_PSE")
     state, step = _build(hparams)
@@ -71,6 +73,7 @@ def test_full_step_runs_and_losses_decrease(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow  # ~95s: second full-program compile in bf16
 def test_bf16_mode_step_learns(rng):
     """Mixed-precision production mode (`compute_dtype=bfloat16`): bf16 conv
     compute on the MXU, f32 master params / BN stats / losses. Must stay finite

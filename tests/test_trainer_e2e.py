@@ -11,6 +11,8 @@ from PIL import Image
 from wt_pse_tpu.config import default_hparams
 from wt_pse_tpu.data.fundus import load_fundus, load_train_domains
 
+pytestmark = pytest.mark.slow  # compile-heavy; scripts/test.sh default skips
+
 
 SIZE = 64  # loader decode size for tests (keeps CPU compile fast)
 
@@ -122,8 +124,10 @@ def test_scan_epoch_matches_python_loop(fundus_root, tmp_path):
     st_a, m_a = trainer.fused_step(
         jax.tree.map(jnp.copy, st0), trainer.data, jax.random.fold_in(key, 5))
     st_b, m_b = trainer.epoch_step(st0, trainer.data, key, 5, 1)
+    # epoch_step returns the per-step stack (n_steps=1 here) for the
+    # per-iteration logging path; compare the single step's values
     for k in m_a:
-        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-4,
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k][0]), rtol=1e-4,
                                    atol=1e-6, err_msg=k)
     # params are NOT compared: conv biases feeding BatchNorm have exactly-zero
     # true gradients, so compiler-dependent float residue decides the sign of
@@ -132,6 +136,49 @@ def test_scan_epoch_matches_python_loop(fundus_root, tmp_path):
     del st_a, st_b
     # and the full-epoch driver is what Trainer.train actually runs
     assert trainer.scan_epochs
+
+
+def test_per_step_logging_and_train_viz(fundus_root, tmp_path):
+    """Round-3 observability (VERDICT #5): per-iteration scalars under the scan
+    driver (kind=step records in metrics.jsonl), train image grids
+    (Trainer.py:927-951 parity), and log.csv valid/* columns filled on
+    validation epochs."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    out = str(tmp_path / "runobs")
+    trainer = Trainer(
+        hparams=default_hparams("WT_PSE"),
+        train_domains=[load_fundus(fundus_root, "train", [i], size=SIZE)
+                       for i in (1, 2, 4)],
+        val_domain=load_fundus(fundus_root, "test", [3], state="prediction",
+                               size=SIZE),
+        out_dir=out, label="OD", batch_size=3, max_epoch=4,
+        interval_validate=4, seed=3, image_size=SIZE,
+        val_visualization=False, per_step_logging=True,
+        train_visualization=True,
+    )
+    trainer.train()
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl")).read().strip().split("\n")]
+    steps = [r for r in lines if r.get("kind") == "step"]
+    assert len(steps) == trainer.iter_per_epoch * 4
+    assert all(np.isfinite(r["loss_seg"]) for r in steps)
+    # step indices are globally increasing
+    assert [r["step"] for r in steps] == sorted(r["step"] for r in steps)
+    # epoch records still present and kind-free
+    assert sum(1 for r in lines if "kind" not in r and "loss_seg" in r) >= 4
+
+    imgs = os.listdir(os.path.join(out, "images"))
+    for tag in ("train_image", "train_shape_cup", "train_target_cup",
+                "train_pre_cup"):
+        assert any(i.startswith(tag) for i in imgs), (tag, imgs)
+
+    rows = open(os.path.join(out, "log.csv")).read().strip().split("\n")
+    header = rows[0].split(",")
+    ci = header.index("valid/cup_dice")
+    filled = [r for r in rows[1:] if r.split(",")[ci] != ""]
+    assert filled, "validation epoch wrote no valid/* csv columns"
 
 
 def test_validation_gate_epoch_le_2(fundus_root, tmp_path):

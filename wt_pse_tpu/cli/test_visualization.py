@@ -33,30 +33,39 @@ from wt_pse_tpu.utils.visualization import save_per_img
 
 
 def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
-                                   n_classes: int = 1):
+                                   n_classes: int = 1,
+                                   algorithm: str = "WT_PSE"):
     """Rebuild the 4 nets and overlay a reference-format checkpoint
-    (test_visulization.py:122-197 filtered partial load)."""
+    (test_visulization.py:122-197 filtered partial load). The load is strict:
+    a checkpoint leaf with no slot in the selected template (wrong
+    ``--algorithm``, wrong config) raises instead of silently evaluating
+    freshly-initialized weights."""
     import jax
 
     from wt_pse_tpu.io.torch_import import load_into_variables, load_reference_checkpoint
 
     cfg = ModelConfig.from_hparams(hparams, n_classes=n_classes)
-    main_od, stud_od = WTPSE(cfg), ShapeStudent(cfg)
-    main_oc, stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+    if algorithm == "Unet_nips2023_joint_shape_regularization":
+        from wt_pse_tpu.models.joint import JointShapeReg
+
+        main_od, main_oc = JointShapeReg(cfg), JointShapeReg(cfg, two_step=True)
+    else:
+        main_od, main_oc = WTPSE(cfg), WTPSE(cfg, two_step=True)
+    stud_od, stud_oc = ShapeStudent(cfg), ShapeStudent(cfg)
 
     img = jnp.zeros((1, 256, 256, 3))
     mask = jnp.zeros((1, 256, 256, 1))
     k = jax.random.PRNGKey(0)
-    v_od = main_od.init({"params": k}, img, mask, method=WTPSE.initialize)
+    v_od = main_od.init({"params": k}, img, mask, method=type(main_od).initialize)
     v_od_shape = stud_od.init({"params": k}, img, method=ShapeStudent.initialize)
-    v_oc = main_oc.init({"params": k}, img, mask, method=WTPSE.initialize)
+    v_oc = main_oc.init({"params": k}, img, mask, method=type(main_oc).initialize)
     v_oc_shape = stud_oc.init({"params": k}, img, method=ShapeStudent.initialize)
 
     trees = load_reference_checkpoint(model_file)
-    v_od, n1 = load_into_variables(v_od, trees["model"])
-    v_od_shape, n2 = load_into_variables(v_od_shape, trees["model_shape"])
-    v_oc, n3 = load_into_variables(v_oc, trees["model_oc"])
-    v_oc_shape, n4 = load_into_variables(v_oc_shape, trees["model_oc_shape"])
+    v_od, n1 = load_into_variables(v_od, trees["model"], strict=True)
+    v_od_shape, n2 = load_into_variables(v_od_shape, trees["model_shape"], strict=True)
+    v_oc, n3 = load_into_variables(v_oc, trees["model_oc"], strict=True)
+    v_oc_shape, n4 = load_into_variables(v_oc_shape, trees["model_oc_shape"], strict=True)
     print(f"checkpoint leaves matched: model={len(n1)} shape={len(n2)} "
           f"oc={len(n3)} oc_shape={len(n4)}")
     to_dev = lambda t: jax.tree.map(jnp.asarray, t)
@@ -123,7 +132,7 @@ def main(argv=None):
             args.model_file, hparams, n_classes, args.algorithm)
     else:  # reference-format .pth.tar (WT_PSE 4-net layout)
         nets, variables = build_networks_from_torch_ckpt(
-            args.model_file, hparams, n_classes)
+            args.model_file, hparams, n_classes, args.algorithm)
     if joint:
         from wt_pse_tpu.train.eval import make_predict_fn_joint
 

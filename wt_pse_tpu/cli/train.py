@@ -54,6 +54,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--running_times", type=int, default=3)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard event files under out/tensorboard "
+                        "(the reference always does; opt-in here) "
+                        "[addition over the reference flag surface]")
+    p.add_argument("--per-step-logging", action="store_true",
+                   help="emit every training iteration's scalars to "
+                        "metrics.jsonl (kind=step records — the reference's "
+                        "per-iteration tensorboard stream, Trainer.py:957-969) "
+                        "[addition over the reference flag surface]")
+    p.add_argument("--train-visualization", action="store_true",
+                   help="save train image grids (ROI/attention/target/pred; "
+                        "Trainer.py:927-951 parity — every 30 iters under the "
+                        "python-loop driver, once per epoch under the scan "
+                        "driver) [addition over the reference flag surface]")
     p.add_argument("--compile-cache",
                    default=os.path.expanduser("~/.cache/wt_pse_tpu_xla"),
                    help="persistent XLA compile-cache dir (TPU compiles are "
@@ -81,18 +95,25 @@ def _repair_left_argv(left_argv: list[str], configs: list[str]):
 
     orphans = [c for c in configs if not looks_like_config(c)]
     real_configs = [c for c in configs if looks_like_config(c)]
+    dangling = [j for j, tok in enumerate(left_argv)
+                if tok.startswith("--") and "=" not in tok
+                and (j + 1 >= len(left_argv)
+                     or left_argv[j + 1].startswith("--"))]
+    if orphans and len(dangling) != len(orphans):
+        # ambiguous: a value-less boolean flag among the dangling keys would
+        # silently steal a value (e.g. `--some-flag --compute_dtype bfloat16`
+        # repairing to some_flag='bfloat16'). Refuse rather than guess.
+        print(f"WARNING: ignoring unrecognized positional args {orphans}: "
+              f"{len(dangling)} dangling flag(s) "
+              f"{[left_argv[j] for j in dangling]} but {len(orphans)} stolen "
+              "value(s) — the pairing is ambiguous; use --key=value form")
+        orphans = []
     out, oi = [], 0
     for j, tok in enumerate(left_argv):
         out.append(tok)
-        dangling = (tok.startswith("--") and "=" not in tok
-                    and (j + 1 >= len(left_argv)
-                         or left_argv[j + 1].startswith("--")))
-        if dangling and oi < len(orphans):
+        if j in dangling and oi < len(orphans):
             out.append(orphans[oi])
             oi += 1
-    if oi < len(orphans):
-        print(f"WARNING: ignoring unrecognized positional args {orphans[oi:]} "
-              "(not existing config files, and no dangling --key to pair with)")
     for c in real_configs:
         if not _os.path.exists(c):
             print(f"WARNING: config overlay not found: {c}")
@@ -148,6 +169,9 @@ def main(args=None, left_argv=None):
             seed=args.seed + run_idx,
             resume=args.resume if run_idx == 0 else None,
             algorithm=args.algorithm,
+            tensorboard=args.tensorboard,
+            per_step_logging=args.per_step_logging,
+            train_visualization=args.train_visualization,
         )
         best = trainer.train()
         for key, value in zip(result.keys(), best):

@@ -29,15 +29,6 @@ import jax.numpy as jnp
 SIZE = 256  # the reference pipeline is fixed at 256 (train.py:59-67)
 
 
-def _crop_matrices(key: jax.Array, size: int):
-    """Sample one RandomScaleCrop draw -> (bilinear matrix (size,size),
-    nearest matrix (size,size)) for one axis pair is built per-axis by the caller.
-
-    Returns per-axis (M_bilin, M_near) given scale in [1,1.5) and offset.
-    """
-    raise NotImplementedError  # see build below
-
-
 def _axis_matrices(scaled: jax.Array, offset: jax.Array, size: int):
     """Interpolation matrices for one axis.
 
@@ -141,7 +132,12 @@ def sample_domain_batch(key: jax.Array, images_u8: jax.Array, labels_u8: jax.Arr
     MMD slicing — Trainer.py:1013).
 
     Reference semantics: each train draw picks a uniformly random item per domain
-    pool (fundus_dataloader.py:91, Trainer.py:29-55).
+    pool (fundus_dataloader.py:91, Trainer.py:29-55). Two documented deviations:
+    the draw is over the *flattened* per-domain pools (see data/fundus.py module
+    docstring — identical for the shipped single-pool domains), and the
+    ``randint(0, 2^31-1) % size`` mapping carries a modulo bias of ~size/2^31
+    (≲1e-7 for any real pool; a rejection loop would cost a data-dependent
+    while_loop inside the jit for no measurable change in the draw).
     """
     d = images_u8.shape[0]
     idx = jax.random.randint(key, (d, per_domain_batch), 0, 2**31 - 1)

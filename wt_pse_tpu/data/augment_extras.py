@@ -176,9 +176,12 @@ def random_sized_crop(key: jax.Array, img: jax.Array, mask: jax.Array | None,
     x1 = jnp.floor(jax.random.uniform(kx) * (w - bw + 1))
     y1 = jnp.floor(jax.random.uniform(ky) * (h - bh + 1))
 
-    # PIL resize of the (bh, bw) crop to (size, size): src = (i+0.5)*scale-0.5
+    # PIL resize of the (bh, bw) crop to (size, size): src = (i+0.5)*scale-0.5.
+    # PIL resizes the *crop*, so edge samples clamp to the box (not the full
+    # image) — clip in box coordinates first, then translate.
     def src(out_n, box_len, box_off, in_len):
         s = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (box_len / out_n) - 0.5
+        s = jnp.clip(s, 0.0, box_len - 1.0)
         return jnp.clip(s + box_off, 0.0, in_len - 1.0)
 
     ys = src(size, bh, y1, h)

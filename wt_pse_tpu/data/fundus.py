@@ -17,6 +17,15 @@ Mirrors the reference loader semantics (``/root/reference/fundus_dataloader.py``
 Unlike the reference (which keeps PIL handles and re-decodes lazily per access),
 everything is decoded once into contiguous uint8 numpy arrays ready to be placed
 in device HBM — the train loop then never touches the host again.
+
+Documented deviation — multi-pool sampling: the reference ``__getitem__`` draws
+one sample *per origin pool* and ``get_batch`` then keeps only the first pool's
+draw (``fundus_dataloader.py:86-99``), whereas our sampler draws uniformly over
+the *flattened* pools (``augment.py::sample_domain_batch``). Identical for the
+shipped datasets (each domain directory holds a single prefix family, so one
+non-empty pool); different only if a domain directory ever mixes prefixes — the
+reference would then silently ignore every pool but the first, while we sample
+all images uniformly.
 """
 
 from __future__ import annotations

@@ -36,7 +36,16 @@ def restore_ensemble(path: str, template: WTPSETrainState) -> WTPSETrainState:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    try:
+        return ckptr.restore(os.path.abspath(path), template)
+    except (ValueError, KeyError) as e:
+        # orbax's structure-mismatch errors are deep tree diffs; surface the
+        # usual root cause (checkpoint trained with a different --algorithm /
+        # config than the template built here) before the raw detail
+        raise ValueError(
+            f"orbax restore from {path} does not match the model template "
+            "(checkpoint trained with a different --algorithm or model "
+            f"config?): {e}") from e
 
 
 # ---------------------------------------------------------------------------

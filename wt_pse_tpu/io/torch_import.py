@@ -82,23 +82,47 @@ def convert_state_dict(state_dict: dict) -> dict:
 
 
 def _merge(dst: dict, src: dict, path=()):  # partial-load: src wins where keys match
-    matched = []
+    matched, unmatched = [], []
     for k, v in src.items():
+        here = "/".join(path + (k,))
         if k not in dst:
+            unmatched += ([here] if not isinstance(v, dict) else
+                          [f"{here}/{p}" for p in _leaf_paths(v)])
             continue
         if isinstance(v, dict) and isinstance(dst[k], dict):
-            matched += _merge(dst[k], v, path + (k,))
+            m, u = _merge(dst[k], v, path + (k,))
+            matched += m
+            unmatched += u
         elif not isinstance(v, dict) and not isinstance(dst[k], dict):
             if np.shape(dst[k]) == np.shape(v):
                 dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
-                matched.append("/".join(path + (k,)))
-    return matched
+                matched.append(here)
+            else:
+                unmatched.append(f"{here} (shape {np.shape(v)} vs template "
+                                 f"{np.shape(dst[k])})")
+        else:
+            unmatched.append(here)
+    return matched, unmatched
 
 
-def load_into_variables(variables: dict, converted: dict) -> tuple[dict, list[str]]:
+def _leaf_paths(t: dict, path=()):
+    for k, v in t.items():
+        if isinstance(v, dict):
+            yield from _leaf_paths(v, path + (k,))
+        else:
+            yield "/".join(path + (k,))
+
+
+def load_into_variables(variables: dict, converted: dict,
+                        strict: bool = False) -> tuple[dict, list[str]]:
     """Overlay converted torch weights onto initialized flax ``variables``
     (the reference's filter-update-load pattern). Returns (new_variables,
-    list of matched leaf paths)."""
+    list of matched leaf paths).
+
+    ``strict=True`` raises when any checkpoint leaf finds no slot in the
+    template (name or shape mismatch) — the signal that the checkpoint was
+    trained for a different algorithm/config than the selected template, which
+    a silent partial load would hide behind freshly-initialized weights."""
     import jax
 
     out = jax.tree_util.tree_map(np.asarray, dict(variables))
@@ -107,10 +131,19 @@ def load_into_variables(variables: dict, converted: dict) -> tuple[dict, list[st
         return {k: to_plain(v) for k, v in t.items()} if isinstance(t, dict) else t
 
     out = to_plain(out)
-    matched = []
+    matched, unmatched = [], []
     for coll in ("params", "batch_stats"):
         if coll in out and coll in converted:
-            matched += _merge(out[coll], converted[coll], (coll,))
+            m, u = _merge(out[coll], converted[coll], (coll,))
+            matched += m
+            unmatched += u
+    if strict and unmatched:
+        preview = ", ".join(unmatched[:6])
+        raise ValueError(
+            f"checkpoint/template mismatch: {len(unmatched)} checkpoint "
+            f"leaves have no slot in the selected model template (matched "
+            f"{len(matched)}). First mismatches: {preview}. Is --algorithm "
+            "set to the algorithm this checkpoint was trained with?")
     return out, matched
 
 

@@ -27,6 +27,11 @@ class ModelConfig:
     # (mixed-precision training: bf16 conv compute on the MXU, f32 params,
     # f32 BN statistics and losses) — set via hparam `compute_dtype`
     compute_dtype: str | None = None
+    # space-to-depth training (hparam `space_to_depth`): the whole top network
+    # level runs on 2x2-pixel-packed tensors (4x channel/lane utilization;
+    # exact kernel folding at apply time — see ops/packed.py). Train-path only;
+    # eval/predict and checkpoints are layout-independent.
+    s2d: bool = False
 
     @classmethod
     def from_hparams(cls, hparams: dict, n_channels: int = 3, n_classes: int = 1,
@@ -42,21 +47,25 @@ class ModelConfig:
             whitening=bool(hparams.get("whitening", True)),
             bn_axis_name=bn_axis_name,
             compute_dtype=None if dtype in (None, "float32") else str(dtype),
+            s2d=bool(hparams.get("space_to_depth", False)),
         )
 
 
-def unet_run(m, x1, train: bool):
+def unet_run(m, x1, train: bool, packed: bool = False):
     """Run the shared 5-level encoder/decoder trunk given a module ``m`` exposing
     down1..down4 / up1..up4 (reference trunk: ``algorithms.py:1218-1226``).
 
     Returns the final 2n-channel decoder feature map at input resolution.
+    ``packed=True``: ``x1`` is a space-to-depth tensor; down1's entry pool
+    unpacks it (phase-max) so levels 2-5 run unpacked at their native sizes,
+    and up4 re-enters packed layout through its upsample (result is packed).
     """
-    x2 = m.down1(x1, train)
+    x2 = m.down1(x1, train, packed_input=packed)
     x3 = m.down2(x2, train)
     x4 = m.down3(x3, train)
     x5 = m.down4(x4, train)
     x = m.up1(x5, x4, train)
     x = m.up2(x, x3, train)
     x = m.up3(x, x2, train)
-    x = m.up4(x, x1, train)
+    x = m.up4(x, x1, train, packed_out=packed)
     return x

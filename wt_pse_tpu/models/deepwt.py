@@ -30,9 +30,9 @@ class DeepWT(nn.Module):
             self.DoubleConv = DoubleConvWT(self.features, dtype=self.dtype)
             self.DoubleConv2 = DoubleConvWT(self.features, dtype=self.dtype)
 
-    def __call__(self, x: jax.Array) -> list[jax.Array]:
+    def __call__(self, x: jax.Array, packed: bool = False) -> list[jax.Array]:
         if not self.whitening:
             return [x]
-        z1 = self.DoubleConv(x)
-        z2 = self.DoubleConv2(nn.relu(z1))
+        z1 = self.DoubleConv(x, packed)
+        z2 = self.DoubleConv2(nn.relu(z1), packed)
         return [z1, z2, nn.relu(z2)]

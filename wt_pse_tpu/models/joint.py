@@ -59,14 +59,20 @@ class JointShapeReg(nn.Module):
         self.outc = ConvStack1x1([cfg.n_classes], dtype=dt)
         self.attention_layer = AttentionLayer(1)
 
-    def embed(self, inputs: jax.Array, train: bool) -> jax.Array:
-        x1 = self.inc(inputs, train)
-        return self.mu(unet_run(self, x1, train))
+    def embed(self, inputs: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+        x1 = self.inc(inputs, train, packed=packed)
+        return self.mu(unet_run(self, x1, train, packed), packed)
 
-    def _fuse(self, embedding, z):
+    def _fuse(self, embedding, z, packed: bool = False):
         if self.cfg.shape_attention:
-            att, _ = self.attention_layer(z)
-            fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
+            att, _ = self.attention_layer(z, packed)
+            if packed:
+                from wt_pse_tpu.ops.packed import pbroadcast_mul
+
+                fused = self.cfg.shape_attention_coeffient * embedding \
+                    + pbroadcast_mul(embedding, att)
+            else:
+                fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
         else:
             att = None
             fused = embedding
@@ -86,19 +92,21 @@ class JointShapeReg(nn.Module):
         joint variant uses the same summed-over-n-1, divided-by-n semantics as
         the main WT_PSE net)."""
         del mask
-        embedding = self.embed(inputs, train)
+        packed = self.cfg.s2d
+        embedding = self.embed(inputs, train, packed)
         att_mask = None
         wt_feats = None
         if self.cfg.shape_prior:
-            wt_feats = self.wt_model(wt_inputs)
+            wt_feats = self.wt_model(wt_inputs, packed)
             # prior over its own features; quirk reparameterization lives in
             # ShapeStudent.__call__ (identical formula, algorithms.py:1435-1440)
             x = wt_feats[-1] if self.cfg.whitening else wt_inputs
-            z, _mu = self.prior_dist(x, train=train, sample=True, eps=eps)
-            embedding, att = self._fuse(embedding, z)
+            z, _mu = self.prior_dist(x, train=train, sample=True, eps=eps,
+                                     packed=packed)
+            embedding, att = self._fuse(embedding, z, packed)
             if att is not None:
                 att_mask = (att > 0.75).astype(jnp.float32)
-        return self.outc(embedding), att_mask, wt_feats
+        return self.outc(embedding, packed), att_mask, wt_feats
 
     def predict(self, inputs, wt_inputs=None):
         """Eval forward: prior mean (no sampling), same fusion."""
@@ -112,4 +120,8 @@ class JointShapeReg(nn.Module):
         return self.outc(embedding)
 
     def initialize(self, inputs, mask):
+        if self.cfg.s2d:
+            from wt_pse_tpu.ops.packed import pack
+
+            inputs, mask = pack(inputs), pack(mask)
         return self(inputs, mask, inputs, train=False)

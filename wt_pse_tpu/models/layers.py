@@ -51,7 +51,11 @@ class BatchNorm(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+        """``packed=True``: ``x`` is a space-to-depth tensor (..., 4*features)
+        in channel-major phase layout (ops/packed.py); statistics reduce over
+        (N, H, W, phases) per original channel — the same element set as the
+        unpacked layout, so running stats stay layout-independent."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(
@@ -62,12 +66,17 @@ class BatchNorm(nn.Module):
         )
 
         if train:
-            reduce_axes = tuple(range(x.ndim - 1))  # N, H, W
+            xf = x.astype(jnp.float32)
+            if packed:
+                xf = xf.reshape(x.shape[:-1] + (self.features, 4))
+                reduce_axes = tuple(range(x.ndim - 1)) + (x.ndim,)  # N,H,W,phase
+            else:
+                reduce_axes = tuple(range(x.ndim - 1))  # N, H, W
             n = 1
             for a in reduce_axes:
-                n *= x.shape[a]
-            mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
-            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=reduce_axes)
+                n *= xf.shape[a]
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
@@ -82,7 +91,10 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return ((x - mean) * inv + bias).astype(x.dtype)
+        shift = bias
+        if packed:
+            mean, inv, shift = (jnp.repeat(t, 4) for t in (mean, inv, shift))
+        return ((x - mean) * inv + shift).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -90,25 +102,56 @@ class BatchNorm(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _conv_kwargs(dtype):
-    """f32 mode pins HIGHEST precision (the ambient default can be bf16-ish — the
-    axon runtime lowers the global default — and checkpoint-parity eval needs true
-    f32). bf16 mode computes natively in bf16 on the MXU (params stay f32;
-    flax casts per-call)."""
-    if dtype is None or dtype == "float32":
-        return dict(dtype=None, precision=jax.lax.Precision.HIGHEST)
-    return dict(dtype=jnp.dtype(dtype), precision=None)
+class RefConv(nn.Module):
+    """Square SAME conv with bias — drop-in for ``nn.Conv`` (identical param
+    tree: ``kernel`` (k,k,in,out) lecun-normal + ``bias`` zeros, so checkpoints
+    and initializers are unchanged) with one addition: ``packed=True`` applies
+    the conv to a space-to-depth tensor by folding the kernel at apply time
+    (ops/packed.py) — exact same math, 4x the lane utilization.
+
+    Precision policy (parity-critical): f32 mode pins HIGHEST precision (the
+    ambient default can be bf16-ish — the axon runtime lowers the global
+    default — and checkpoint-parity eval needs true f32). bf16 mode computes
+    natively in bf16 on the MXU (params stay f32; cast per-call)."""
+
+    features: int
+    ksize: int = 3
+    dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        k = self.ksize
+        cin = x.shape[-1] // (4 if packed else 1)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is None or self.dtype == "float32":
+            x = x.astype(jnp.float32)
+            kernel = kernel.astype(jnp.float32)
+            bias = bias.astype(jnp.float32)
+            prec = jax.lax.Precision.HIGHEST
+        else:
+            dt = jnp.dtype(self.dtype)
+            x, kernel, bias = x.astype(dt), kernel.astype(dt), bias.astype(dt)
+            prec = None
+        if packed:
+            from wt_pse_tpu.ops.packed import fold1x1, fold3x3
+
+            kernel, bias = (fold3x3 if k == 3 else fold1x1)(kernel, bias)
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        return y + bias
 
 
-def conv3x3(features: int, name: str | None = None, dtype=None) -> nn.Conv:
+def conv3x3(features: int, name: str | None = None, dtype=None) -> RefConv:
     """3x3 same-padding conv with bias (reference convs are all bias=True)."""
-    return nn.Conv(features, (3, 3), padding=1, use_bias=True, name=name,
-                   **_conv_kwargs(dtype))
+    return RefConv(features, ksize=3, name=name, dtype=dtype)
 
 
-def conv1x1(features: int, name: str | None = None, dtype=None) -> nn.Conv:
-    return nn.Conv(features, (1, 1), padding=0, use_bias=True, name=name,
-                   **_conv_kwargs(dtype))
+def conv1x1(features: int, name: str | None = None, dtype=None) -> RefConv:
+    return RefConv(features, ksize=1, name=name, dtype=dtype)
 
 
 def max_pool_2x2(x: jax.Array) -> jax.Array:
@@ -206,16 +249,26 @@ class ConvD(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool, packed: bool = False,
+                 packed_input: bool = False) -> jax.Array:
+        """``packed``: run the whole block in space-to-depth layout (first
+        blocks at the top level). ``packed_input``: input is packed but the
+        block starts with the 2x2 maxpool, which unpacks it for free (phase-max
+        == pool, ops/packed.py) — the rest runs at half resolution unpacked."""
         if not self.first:
-            x = max_pool_2x2(x)
-        x = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x)
-        x = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn1")(x, train)
-        y = conv3x3(self.planes, name="conv2", dtype=self.dtype)(x)
-        y = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn2")(y, train)
+            if packed_input:
+                from wt_pse_tpu.ops.packed import phase_max_unpool
+
+                x = phase_max_unpool(x)
+            else:
+                x = max_pool_2x2(x)
+        x = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x, packed)
+        x = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn1")(x, train, packed)
+        y = conv3x3(self.planes, name="conv2", dtype=self.dtype)(x, packed)
+        y = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn2")(y, train, packed)
         y = nn.relu(y)
-        z = conv3x3(self.planes, name="conv3", dtype=self.dtype)(y)
-        z = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn3")(z, train)
+        z = conv3x3(self.planes, name="conv3", dtype=self.dtype)(y, packed)
+        z = BatchNorm(self.planes, axis_name=self.bn_axis_name, name="bn3")(z, train, packed)
         return nn.relu(z)
 
 
@@ -236,19 +289,29 @@ class ConvU(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, prev: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, prev: jax.Array, train: bool,
+                 packed_out: bool = False) -> jax.Array:
+        """``packed_out``: the top decoder block — ``x`` arrives unpacked at
+        half resolution, the 2x upsample emits a packed tensor directly
+        (ops/packed.py), ``prev`` is the packed skip, and everything above the
+        upsample runs in space-to-depth layout."""
         p = self.planes
         if not self.first:
             x = conv3x3(p, name="conv1", dtype=self.dtype)(x)
             x = BatchNorm(p, axis_name=self.bn_axis_name, name="bn1")(x, train)
             x = nn.relu(x)
-        y = upsample2x_bilinear(x)
-        y = conv1x1(p // 2, name="conv2", dtype=self.dtype)(y)
-        y = BatchNorm(p // 2, axis_name=self.bn_axis_name, name="bn2")(y, train)
+        if packed_out:
+            from wt_pse_tpu.ops.packed import upsample2x_packed
+
+            y = upsample2x_packed(x)
+        else:
+            y = upsample2x_bilinear(x)
+        y = conv1x1(p // 2, name="conv2", dtype=self.dtype)(y, packed_out)
+        y = BatchNorm(p // 2, axis_name=self.bn_axis_name, name="bn2")(y, train, packed_out)
         y = nn.relu(y)
         y = jnp.concatenate([prev.astype(y.dtype), y], axis=-1)
-        y = conv3x3(p, name="conv3", dtype=self.dtype)(y)
-        y = BatchNorm(p, axis_name=self.bn_axis_name, name="bn3")(y, train)
+        y = conv3x3(p, name="conv3", dtype=self.dtype)(y, packed_out)
+        y = BatchNorm(p, axis_name=self.bn_axis_name, name="bn3")(y, train, packed_out)
         return nn.relu(y)
 
 
@@ -260,12 +323,12 @@ class DoubleConv(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x)
-        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn1")(x, train)
+    def __call__(self, x: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x, packed)
+        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn1")(x, train, packed)
         x = nn.relu(x)
-        x = conv3x3(self.features, name="conv2", dtype=self.dtype)(x)
-        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn2")(x, train)
+        x = conv3x3(self.features, name="conv2", dtype=self.dtype)(x, packed)
+        x = BatchNorm(self.features, axis_name=self.bn_axis_name, name="bn2")(x, train, packed)
         return nn.relu(x)
 
 
@@ -279,10 +342,10 @@ class DoubleConvWT(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x)
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        x = conv3x3(self.features, name="conv1", dtype=self.dtype)(x, packed)
         x = nn.relu(x)
-        return conv3x3(self.features, name="conv2", dtype=self.dtype)(x)
+        return conv3x3(self.features, name="conv2", dtype=self.dtype)(x, packed)
 
 
 class ConvStack1x1(nn.Module):
@@ -295,11 +358,11 @@ class ConvStack1x1(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
         for i, f in enumerate(self.features):
             if i > 0:
                 x = nn.relu(x)
-            x = conv1x1(f, name=f"c{i}", dtype=self.dtype)(x)
+            x = conv1x1(f, name=f"c{i}", dtype=self.dtype)(x, packed)
         return x
 
 
@@ -310,8 +373,8 @@ class AttentionLayer(nn.Module):
     features: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        logits = conv1x1(self.features, name="layer1")(x)
+    def __call__(self, x: jax.Array, packed: bool = False) -> tuple[jax.Array, jax.Array]:
+        logits = conv1x1(self.features, name="layer1")(x, packed)
         return jax.nn.sigmoid(logits), logits
 
 

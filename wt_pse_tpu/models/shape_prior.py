@@ -65,33 +65,41 @@ class TeacherShapePrior(nn.Module):
         self.logvar_prior = ConvStack1x1([2 * n, 8, 1], dtype=dt)
 
     def extract(self, inputs: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        packed = self.cfg.s2d  # teacher runs only in the train path
         if self.cfg.whitening:
-            mask_x1 = self.inc(mask, train)
+            mask_x1 = self.inc(mask, train, packed)
             x1 = jnp.concatenate([mask_x1, inputs], axis=-1)
-            x1 = nn.relu(self.fusion(x1))
+            x1 = nn.relu(self.fusion(x1, packed))
         else:
-            x1 = self.inc(jnp.concatenate([mask, inputs], axis=-1), train)
-        return unet_run(self, x1, train)
+            x1 = self.inc(jnp.concatenate([mask, inputs], axis=-1), train, packed)
+        return unet_run(self, x1, train, packed)
 
     def __call__(self, inputs, mask, train: bool = True, sample: bool = True,
                  eps: jax.Array | None = None):
         """(z, mu) when sampling (training path) else mu (algorithms.py:1055-1066).
 
         ``eps`` injects the N(0,1) draw (parity tests); default draws from the
-        'sample' RNG stream.
+        'sample' RNG stream. Under ``cfg.s2d`` all tensors are packed.
         """
+        packed = self.cfg.s2d
         fm = self.extract(inputs, mask, train)
-        mu = self.mu_prior(fm)
+        mu = self.mu_prior(fm, packed)
         if not sample:
             return mu
-        logvar = self.logvar_prior(fm)
+        logvar = self.logvar_prior(fm, packed)
         std = jnp.exp(logvar / 2)
         if eps is None:
             eps = jax.random.normal(self.make_rng("sample"), std.shape, std.dtype)
         return mu + std * eps, mu
 
     def initialize(self, inputs, mask):
-        """Trace every parameterized branch (for ``.init``)."""
+        """Trace every parameterized branch (for ``.init``). Under ``cfg.s2d``
+        the teacher's train path is packed-only, so pack the example inputs
+        (the param tree is identical either way — folding is apply-time)."""
+        if self.cfg.s2d:
+            from wt_pse_tpu.ops.packed import pack
+
+            inputs, mask = pack(inputs), pack(mask)
         return self(inputs, mask, train=False, sample=True,
                     eps=jnp.zeros(inputs.shape[:3] + (1,), inputs.dtype))
 
@@ -129,18 +137,22 @@ class ShapeStudent(nn.Module):
         ``algorithms.py:1333-1338``)."""
         return self.wt_model(x)
 
-    def extract(self, inputs: jax.Array, train: bool) -> jax.Array:
-        x1 = inputs if self.cfg.whitening else self.inc(inputs, train)
-        return unet_run(self, x1, train)
+    def extract(self, inputs: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+        x1 = inputs if self.cfg.whitening else self.inc(inputs, train, packed)
+        return unet_run(self, x1, train, packed)
 
     def __call__(self, inputs, train: bool = True, sample: bool = True,
-                 eps: jax.Array | None = None):
-        """(z, mu) when sampling else scrubbed mu (shape_networks.py:483-500)."""
-        fm = self.extract(inputs, train)
-        mu = _scrub(self.mu_prior(fm))
+                 eps: jax.Array | None = None, packed: bool = False):
+        """(z, mu) when sampling else scrubbed mu (shape_networks.py:483-500).
+
+        ``packed`` is an explicit argument (not ``cfg.s2d``) because the student
+        runs in BOTH the packed train path (update_forward) and the unpacked
+        eval path (sample_from_image) from the same parameters."""
+        fm = self.extract(inputs, train, packed)
+        mu = _scrub(self.mu_prior(fm, packed))
         if not sample:
             return mu
-        logvar = self.logvar_prior(fm)
+        logvar = self.logvar_prior(fm, packed)
         std = _scrub(jnp.exp(logvar / 2))
         if eps is None:
             eps = jax.random.normal(self.make_rng("sample"), std.shape, std.dtype)
@@ -149,7 +161,8 @@ class ShapeStudent(nn.Module):
         return z, mu
 
     def sample_from_image(self, image: jax.Array, train: bool = False):
-        """wt_model -> trunk -> mu, the full student inference path."""
+        """wt_model -> trunk -> mu, the full student inference path (eval —
+        always unpacked; checkpoint parity path)."""
         feats = self.wt_model(image)
         return self(feats[-1], train=train, sample=False)
 
@@ -158,10 +171,11 @@ class ShapeStudent(nn.Module):
         """The student half of the distillation step (shape_networks.py:517-526):
         own DeepWT -> trunk -> sampled (z, mu); returns (z, mu, wt_feats) so the
         caller can compute the student whitening losses on wt_feats[0:2].
-        ``eps`` injects the N(0,1) draw (parity tests)."""
-        feats = self.wt_model(image)
+        ``eps`` injects the N(0,1) draw (parity tests). Packed under ``cfg.s2d``."""
+        packed = self.cfg.s2d
+        feats = self.wt_model(image, packed)
         x = feats[-1] if self.cfg.whitening else image
-        z, mu = self(x, train=train, sample=True, eps=eps)
+        z, mu = self(x, train=train, sample=True, eps=eps, packed=packed)
         return z, mu, feats
 
     def initialize(self, image):

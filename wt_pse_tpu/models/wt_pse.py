@@ -58,18 +58,25 @@ class WTPSE(nn.Module):
 
     # -- shared pieces -----------------------------------------------------
 
-    def embed(self, inputs: jax.Array, train: bool) -> jax.Array:
+    def embed(self, inputs: jax.Array, train: bool, packed: bool = False) -> jax.Array:
         """U-Net trunk -> 8-dim embedding (algorithms.py:1218-1227)."""
-        x1 = self.inc(inputs, train)
-        x = unet_run(self, x1, train)
-        return self.mu(x)
+        x1 = self.inc(inputs, train, packed=packed)
+        x = unet_run(self, x1, train, packed)
+        return self.mu(x, packed)
 
-    def _fuse(self, embedding: jax.Array, z_posterior: jax.Array):
+    def _fuse(self, embedding: jax.Array, z_posterior: jax.Array,
+              packed: bool = False):
         """Attention-gated fusion (algorithms.py:1241-1253). Returns
         (fused embedding, attention map)."""
         if self.cfg.shape_attention:
-            att, _ = self.attention_layer(z_posterior)
-            fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
+            att, _ = self.attention_layer(z_posterior, packed)
+            if packed:
+                from wt_pse_tpu.ops.packed import pbroadcast_mul
+
+                fused = self.cfg.shape_attention_coeffient * embedding \
+                    + pbroadcast_mul(embedding, att)
+            else:
+                fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
         else:
             att = None
             fused = embedding
@@ -85,19 +92,24 @@ class WTPSE(nn.Module):
         (the reference always calls update(two_step=True) with
         ``two_stage_inputs`` = the stage input, Trainer.py:779-784, 856-862).
 
+        With ``cfg.s2d`` every argument must already be packed (ops/packed.py);
+        logits/att_mask/wt features come back packed (phase-invariant losses
+        consume them directly).
+
         Returns (logits, attention>0.75 mask or None, wt feature list or None).
         """
-        embedding = self.embed(inputs, train)
+        packed = self.cfg.s2d
+        embedding = self.embed(inputs, train, packed)
         att_mask = None
         wt_feats = None
         if self.cfg.shape_prior:
-            wt_feats = self.wt_model(wt_inputs)
+            wt_feats = self.wt_model(wt_inputs, packed)
             z_posterior, _z_mu = self.prior_dist(
                 wt_feats[-1], mask, train=train, sample=True, eps=eps)
-            embedding, att = self._fuse(embedding, z_posterior)
+            embedding, att = self._fuse(embedding, z_posterior, packed)
             if att is not None:
                 att_mask = (att > 0.75).astype(jnp.float32)
-        output = self.outc(embedding)
+        output = self.outc(embedding, packed)
         return output, att_mask, wt_feats
 
     # -- inference forward (reference .predict(), algorithms.py:1311-1353) --
@@ -117,14 +129,21 @@ class WTPSE(nn.Module):
     # -- teacher access for the student's distillation step -----------------
 
     def initialize(self, inputs, mask):
-        """Trace every parameterized branch (for ``.init``)."""
+        """Trace every parameterized branch (for ``.init``). Under ``cfg.s2d``
+        the train path is packed-only; pack the example inputs (the param tree
+        is identical either way — kernel folding is apply-time)."""
+        if self.cfg.s2d:
+            from wt_pse_tpu.ops.packed import pack
+
+            inputs, mask = pack(inputs), pack(mask)
         return self(inputs, mask, inputs, train=False,
                     eps=jnp.zeros(inputs.shape[:3] + (1,), inputs.dtype))
 
     def teacher_sample(self, wt_inputs, mask, train: bool = True,
                        eps: jax.Array | None = None):
         """DeepWT + teacher sample, used inside the student update
-        (shape_networks.py:516-524 calls main_network.wt_model / .prior_dist)."""
-        wt_feats = self.wt_model(wt_inputs)
+        (shape_networks.py:516-524 calls main_network.wt_model / .prior_dist).
+        Packed inputs under ``cfg.s2d`` (train path)."""
+        wt_feats = self.wt_model(wt_inputs, self.cfg.s2d)
         z, mu = self.prior_dist(wt_feats[-1], mask, train=train, sample=True, eps=eps)
         return z, mu

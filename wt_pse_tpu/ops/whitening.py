@@ -34,8 +34,12 @@ import jax.numpy as jnp
 EPS = 1e-5
 
 
-def feature_covariance(z: jax.Array) -> jax.Array:
+def feature_covariance(z: jax.Array, packed: bool = False) -> jax.Array:
     """Covariance of an NHWC feature map: (B, C, C) = f f^T / (HW-1) + eps*I.
+
+    ``packed=True``: ``z`` is a space-to-depth tensor (..., 4C) in channel-major
+    layout (ops/packed.py); the contraction runs over (packed pixels, phases) —
+    the identical element set, so the covariance is the same matrix.
 
     Precision: f32 inputs contract with HIGHEST (true f32 — the ambient TPU
     default silently degrades to bf16-level, which breaks loss parity). bf16
@@ -43,8 +47,15 @@ def feature_covariance(z: jax.Array) -> jax.Array:
     accumulation — the operands are already bf16, so a HIGHEST f32 contraction
     could not recover accuracy and costs ~6x the MXU passes.
     """
-    b, h, w, c = z.shape
-    f = z.reshape(b, h * w, c)
+    if packed:
+        b, h2, w2, c4 = z.shape
+        c = c4 // 4
+        h, w = 2 * h2, 2 * w2
+        f = jnp.transpose(z.reshape(b, h2 * w2, c, 4), (0, 1, 3, 2))
+        f = f.reshape(b, h * w, c)
+    else:
+        b, h, w, c = z.shape
+        f = z.reshape(b, h * w, c)
     if f.dtype == jnp.bfloat16:
         cov = jnp.einsum("bpc,bpd->bcd", f, f,
                          preferred_element_type=jnp.float32)
@@ -114,7 +125,7 @@ def domain_mmd(vectors: jax.Array, domain_num: int, per_domain_batch: int) -> ja
 
 def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
                           margin: float = 0.0, axis_name: str | None = None,
-                          axis_size: int = 1, cov_fn=None):
+                          axis_size: int = 1, cov_fn=None, packed: bool = False):
     """One feature map -> (off_term, diag_term, domain_term).
 
     Under ``shard_map`` data parallelism (``axis_name`` set), the local batch holds
@@ -125,7 +136,10 @@ def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
     Instance terms stay local: combined with the gradient ``pmean`` they equal the
     global-batch loss exactly (equal shards).
     """
-    cov = (cov_fn or feature_covariance)(z)
+    if packed:  # the Pallas cov kernel is unpacked-only; the einsum handles both
+        cov = feature_covariance(z, packed=True)
+    else:
+        cov = (cov_fn or feature_covariance)(z)
     off_term, diag_term = instance_whitening_terms(cov, margin)
     vec = upper_triangle_vectors(cov)
     pdb = per_domain_batch
@@ -142,7 +156,7 @@ def whitening_loss_single(z: jax.Array, domain_num: int, per_domain_batch: int,
 def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
                         margin: float = 0.0, replicate_ref_quirks: bool = True,
                         axis_name: str | None = None, axis_size: int = 1,
-                        cov_fn=None):
+                        cov_fn=None, packed: bool = False):
     """Main-net whitening loss over the DeepWT list (algorithms.py:1256-1267).
 
     Returns (instance_loss, domain_loss). Sums maps 0..len-2; divides by len
@@ -153,7 +167,8 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     dom = 0.0
     for z in wt_feats[: num - 1]:
         off_t, diag_t, dom_t = whitening_loss_single(
-            z, domain_num, per_domain_batch, margin, axis_name, axis_size, cov_fn)
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size,
+            cov_fn, packed)
         inst = inst + off_t + diag_t
         dom = dom + dom_t
     denom = num if replicate_ref_quirks else max(num - 1, 1)
@@ -163,7 +178,7 @@ def main_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
 def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
                            margin: float = 0.0, replicate_ref_quirks: bool = True,
                            axis_name: str | None = None, axis_size: int = 1,
-                           cov_fn=None):
+                           cov_fn=None, packed: bool = False):
     """Student-net whitening loss (shape_networks.py:537-554).
 
     Returns (inst_total, inst_offdiag, inst_diag, domain_loss) matching the
@@ -174,7 +189,8 @@ def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
     offs, diags, doms = [], [], []
     for z in wt_feats[: num - 1]:
         off_t, diag_t, dom_t = whitening_loss_single(
-            z, domain_num, per_domain_batch, margin, axis_name, axis_size, cov_fn)
+            z, domain_num, per_domain_batch, margin, axis_name, axis_size,
+            cov_fn, packed)
         offs.append(off_t)
         diags.append(diag_t)
         doms.append(dom_t)

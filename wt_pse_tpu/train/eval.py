@@ -107,8 +107,10 @@ def _linear_resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
 def _resize_host(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """Host-side bilinear resize, same matmul formulation as resize_bilinear.
 
-    Used for the 256->native upsample at eval: identical f32 math, but no
-    per-resolution XLA compile (minutes each over a tunneled device) and a
+    Used for the 256->native upsample at eval: same weights, but accumulated in
+    float64 (strictly *more* accurate than the device's f32-HIGHEST path — not
+    bit-identical; differences sit far below the 0.75 decision threshold), with
+    no per-resolution XLA compile (minutes each over a tunneled device) and a
     smaller device->host transfer (256-sq logits instead of native-size).
     """
     n, h, w, c = x.shape

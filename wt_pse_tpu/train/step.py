@@ -88,6 +88,10 @@ class StepConfig:
             self.cov_fn = feature_covariance_pallas
         else:
             self.cov_fn = None
+        # space-to-depth training (hparam `space_to_depth`, ops/packed.py):
+        # the step packs the batch once and every tensor that lives at the top
+        # network level stays packed end-to-end — losses are phase-invariant
+        self.s2d = bool(hparams.get("space_to_depth", False))
 
     def _pmean(self, tree):
         if self.axis_name is None:
@@ -110,7 +114,7 @@ def _seg_phase(model: WTPSE, tx, net, image, target, wt_input, seg_loss_fn,
             inst, dom = main_whitening_loss(
                 wt_feats, cfg.domain_num, cfg.per_domain_batch, cfg.margin,
                 cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size,
-                cfg.cov_fn)
+                cfg.cov_fn, cfg.s2d)
         else:
             inst = jnp.zeros(())
             dom = jnp.zeros(())
@@ -159,7 +163,7 @@ def _shape_phase(main: WTPSE, student: ShapeStudent, tx, main_net, stud_net,
             inst_total, inst_ij, inst_ii, dom = student_whitening_loss(
                 wt_feats, cfg.domain_num, cfg.per_domain_batch, cfg.margin,
                 cfg.replicate_ref_quirks, cfg.axis_name, cfg.axis_size,
-                cfg.cov_fn)
+                cfg.cov_fn, cfg.s2d)
             total = kd + cfg.instance_wt_gm * inst_total + cfg.domain_wt_gm * dom
             return total, (smut["batch_stats"], kd, inst_total, inst_ij, inst_ii, dom)
 
@@ -188,6 +192,13 @@ def make_train_step(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
         image = batch["image"]
         target_od = batch["target_od"]
         target_oc = batch["target_oc"]
+        if cfg.s2d:
+            # pack ONCE; every loss below is a mean/sum over all elements or an
+            # elementwise map, both phase-invariant (ops/packed.py docstring)
+            from wt_pse_tpu.ops.packed import pack
+
+            image, target_od, target_oc = (
+                pack(image), pack(target_od), pack(target_oc))
         k1, k2, k3, k4 = jax.random.split(rng, 4)
 
         # ---- phase 1: OD segmentation ---------------------------------------
@@ -206,7 +217,12 @@ def make_train_step(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
         # ---- phase 3: OC segmentation on the OD ROI -------------------------
         od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)  # detached
         od_pred = jax.lax.stop_gradient(od_pred)
-        image_roi = (image + 1.0) * od_pred - 1.0
+        if cfg.s2d:
+            from wt_pse_tpu.ops.packed import pbroadcast_mul
+
+            image_roi = pbroadcast_mul(image + 1.0, od_pred) - 1.0
+        else:
+            image_roi = (image + 1.0) * od_pred - 1.0
 
         num = jnp.sum(od_pred)
         den = jnp.sum(od_pred * target_oc)

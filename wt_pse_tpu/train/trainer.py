@@ -90,6 +90,9 @@ class Trainer:
         tensorboard: bool = False,
         val_visualization: bool = True,
         scan_epochs: bool = True,
+        per_step_logging: bool = False,
+        train_visualization: bool = False,
+        train_viz_interval: int = 30,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -154,15 +157,53 @@ class Trainer:
             fused step. The per-step host dispatch of a python loop costs ~ms
             each over a tunneled device; driving the epoch from the device
             removes it entirely. Same PRNG stream as the python loop
-            (fold_in(run_key, absolute_step)). Returns per-epoch metric means."""
+            (fold_in(run_key, absolute_step)). Returns the full per-step metric
+            stack (n_steps x ~20 scalars — trivial HBM); the host means them for
+            the epoch log line and can emit per-iteration records
+            (``per_step_logging``) without changing the device program."""
 
             def body(st, i):
                 return fused(st, data, jax.random.fold_in(key, first_step + i))
 
-            state, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
-            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+            return jax.lax.scan(body, state, jnp.arange(n_steps))
 
         self.epoch_step = jax.jit(epoch, donate_argnums=(0,), static_argnums=(4,))
+        self._batch_fn = batch_fn
+
+        def viz_forward(od_vars, oc_vars, data, key):
+            """Train-image forward for the every-30-iteration grids
+            (Trainer.py:927-951): sample a batch from the train PRNG stream,
+            run the two-stage forward with the current weights (eval-mode BN —
+            the reference reuses the in-loop training activations, which a
+            fused scan step cannot expose; values differ only by the BN
+            batch-vs-running statistics), return sample 0's ROI image, OC
+            attention mask, OC target and OC logits."""
+            kb, _ = jax.random.split(key)
+            batch = batch_fn(data, kb)
+            image, t_od, t_oc = (batch["image"], batch["target_od"],
+                                 batch["target_oc"])
+            if cfg.s2d:
+                from wt_pse_tpu.ops.packed import pack, pbroadcast_mul, unpack
+
+                image, t_od, t_oc = pack(image), pack(t_od), pack(t_oc)
+            eps = jnp.zeros(image.shape[:3] + (1,), image.dtype)
+            out_od, _a, _w = self.main_od.apply(
+                od_vars, image, t_od, image, False, eps=eps)
+            od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
+            if cfg.s2d:
+                roi = pbroadcast_mul(image + 1.0, od_pred) - 1.0
+            else:
+                roi = (image + 1.0) * od_pred - 1.0
+            out_oc, att_oc, _w = self.main_oc.apply(
+                oc_vars, roi, t_oc, roi, False, eps=eps)
+            if att_oc is None:
+                att_oc = jnp.zeros_like(out_oc)
+            if cfg.s2d:
+                roi, out_oc, att_oc, t_oc = (
+                    unpack(roi), unpack(out_oc), unpack(att_oc), unpack(t_oc))
+            return roi[0], att_oc[0], t_oc[0], out_oc[0]
+
+        self._viz_step = jax.jit(viz_forward)
         if algorithm == "Unet_nips2023_joint_shape_regularization":
             from wt_pse_tpu.train.eval import make_predict_fn_joint
 
@@ -198,6 +239,9 @@ class Trainer:
             self._val_oc_256 = np.stack(oc256)
 
         self.scan_epochs = scan_epochs
+        self.per_step_logging = per_step_logging
+        self.train_visualization = train_visualization
+        self.train_viz_interval = train_viz_interval
         self.best = {"objective": 0.0, "epoch": -1}
         self.best_list = [0.0] * 6
         self.epoch = 0
@@ -252,6 +296,33 @@ class Trainer:
 
         self.logger.image("val/montage", np.asarray(Image.open(path)), self.epoch)
 
+    def _save_train_montage(self, iteration: int):
+        """Reference-parity train image logging (Trainer.py:927-951, every 30
+        iterations): ``train/image`` (the OC-stage ROI input), ``train/shape_cup``
+        (attention mask, whitening runs), ``train/target_cup``, ``train/pre_cup``
+        (sigmoid(out_oc) > 0.75) — sample 0 of a batch drawn from the train PRNG
+        stream. Python-loop driver: logged every ``train_viz_interval`` steps;
+        scan driver: once per epoch (per-interval grids would need host dispatch
+        inside the device program — documented deviation)."""
+        from wt_pse_tpu.utils.visualization import untransform
+
+        key = jax.random.fold_in(self.run_key, iteration)
+        roi, att, t_oc, out_oc = self._viz_step(
+            self.state.od.variables, self.state.oc.variables, self.data, key)
+        roi, att, t_oc, out_oc = (np.asarray(roi), np.asarray(att),
+                                  np.asarray(t_oc), np.asarray(out_oc))
+
+        def gray_u8(a):
+            a = np.clip(np.asarray(a, np.float32), 0.0, 1.0)
+            return np.repeat((a * 255).astype(np.uint8), 3, axis=-1)
+
+        self.logger.image("train/image", untransform(roi), iteration)
+        if self.cfg.whitening:
+            self.logger.image("train/shape_cup", gray_u8(att), iteration)
+        self.logger.image("train/target_cup", gray_u8(t_oc), iteration)
+        pred = (1.0 / (1.0 + np.exp(-out_oc)) > 0.75).astype(np.float32)
+        self.logger.image("train/pre_cup", gray_u8(pred), iteration)
+
     def validate(self) -> dict:
         variables = (
             self.state.od.variables, self.state.od_shape.variables,
@@ -293,28 +364,43 @@ class Trainer:
             t0 = time.time()
             if self.scan_epochs:
                 # whole epoch = ONE device program (lax.scan over the fused
-                # step): no per-step host dispatch. Metrics are epoch means.
-                self.state, metrics = self.epoch_step(
+                # step): no per-step host dispatch. The scan stacks every
+                # step's metrics; one device->host transfer serves the epoch
+                # means AND the optional per-iteration log (per-scalar fetches
+                # cost one link RTT each, ~seconds/epoch over a tunneled
+                # device).
+                self.state, ms = self.epoch_step(
                     self.state, self.data, self.run_key,
                     epoch * self.iter_per_epoch, self.iter_per_epoch)
+                names = sorted(ms)
+                per_step = np.asarray(jnp.stack([ms[k] for k in names]))
+                if self.per_step_logging:
+                    base = epoch * self.iter_per_epoch
+                    for it in range(per_step.shape[1]):
+                        self.logger.step_scalars(
+                            base + it,
+                            {k: per_step[j, it] for j, k in enumerate(names)})
+                metrics = {k: float(per_step[j].mean())
+                           for j, k in enumerate(names)}
+                if self.train_visualization:
+                    # scan driver: one grid per epoch (see _save_train_montage)
+                    self._save_train_montage((epoch + 1) * self.iter_per_epoch)
             else:
                 metrics = {}
                 for it in range(self.iter_per_epoch):
-                    step_key = jax.random.fold_in(
-                        self.run_key, epoch * self.iter_per_epoch + it)
+                    g = epoch * self.iter_per_epoch + it
+                    step_key = jax.random.fold_in(self.run_key, g)
                     self.state, metrics = self.fused_step(
                         self.state, self.data, step_key)
-            # one host sync per epoch for the log line — stacked into a single
-            # device->host transfer (per-scalar fetches cost one link RTT each,
-            # ~seconds/epoch over a tunneled device)
-            names = sorted(metrics)
-            stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
-            metrics = {k: float(v) for k, v in zip(names, stacked)}
+                    if self.per_step_logging:
+                        self.logger.step_scalars(
+                            g, {k: float(v) for k, v in metrics.items()})
+                    if self.train_visualization and g % self.train_viz_interval == 0:
+                        self._save_train_montage(g)
+                names = sorted(metrics)
+                stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
+                metrics = {k: float(v) for k, v in zip(names, stacked)}
             self.logger.scalars(epoch, metrics)
-            self.logger.csv_row(epoch, (epoch + 1) * self.iter_per_epoch,
-                                metrics.get("loss_seg", 0.0),
-                                train_cup=metrics.get("train_dice_oc"),
-                                train_disc=metrics.get("train_dice"))
             self.logger.epoch_summary(
                 epoch, self.lr_od, metrics.get("loss_seg_oc", 0.0),
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
@@ -334,13 +420,24 @@ class Trainer:
                 # here costs ~minutes/epoch over a slow device->host link.
                 self._last_good = jax.tree.map(jnp.copy, self.state)
 
+            def _csv(val=None):
+                # written once per epoch, after validation so the valid/*
+                # columns are filled on validation epochs (the reference's
+                # log.csv is never appended to at all — SURVEY §1)
+                self.logger.csv_row(epoch, (epoch + 1) * self.iter_per_epoch,
+                                    metrics.get("loss_seg", 0.0), val=val,
+                                    train_cup=metrics.get("train_dice_oc"),
+                                    train_disc=metrics.get("train_dice"))
+
             if self.stop_epoch == epoch:
                 print(f"Stop epoch at {self.stop_epoch}")
+                _csv()
                 break
 
             if (epoch + 1) % self.interval_validate == 0 and epoch > 2:
                 print("-" * 10, "start to validate", "-" * 10)
                 val = self.validate()
+                _csv(val)
                 self.logger.scalars(epoch, {f"val/{k}": v for k, v in val.items()})
                 if val["objective"] > self.best["objective"]:
                     self.best = {"objective": val["objective"], "epoch": epoch + 1}
@@ -355,4 +452,6 @@ class Trainer:
                     # epochs; ours carries optimizer state, so resume is real
                     save_ensemble(
                         os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
+            else:
+                _csv()  # non-validation epochs still get their log.csv row
         return list(self.best_list)

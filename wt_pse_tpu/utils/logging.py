@@ -52,9 +52,32 @@ class RunLogger:
                 if k not in ("step", "t"):
                     self.tb.add_scalar(k, v, step)
 
+    def step_scalars(self, iteration: int, payload: dict):
+        """Per-iteration train scalars (reference parity: ``Trainer.py:957-969``
+        writes every loss scalar every iteration). One ``{"kind": "step"}`` JSON
+        line per training step in metrics.jsonl — epoch records have no ``kind``
+        key, so consumers distinguish them for free. Under the scan-epoch driver
+        these are emitted in one burst per epoch from the stacked scan outputs
+        (the values are identical to what a python loop would log; only the
+        wall-clock ``t`` is end-of-epoch)."""
+        rec = {"kind": "step", "step": iteration,
+               "t": round(time.time() - self.t0, 3)}
+        rec.update({k: float(v) for k, v in payload.items()})
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "t", "kind"):
+                    self.tb.add_scalar(f"train_step/{k}", v, iteration)
+
     def csv_row(self, epoch: int, iteration: int, loss_seg: float,
                 val: dict | None = None, train_cup: float | None = None,
                 train_disc: float | None = None):
+        """One log.csv row per epoch. Semantics note: under the scan-epoch
+        driver the train fields are *epoch means* (the python-loop driver and
+        the reference's tensorboard stream record per-iteration running values —
+        those live in metrics.jsonl ``kind=step`` records instead). ``val``
+        fills the valid/* columns on validation epochs."""
         fmt = lambda v: "" if v is None else round(v, 6)
         row = [epoch, iteration, round(loss_seg, 6), fmt(train_cup),
                fmt(train_disc),
@@ -75,11 +98,14 @@ class RunLogger:
         os.makedirs(d, exist_ok=True)
         try:
             from PIL import Image
-
-            Image.fromarray(arr).save(
-                os.path.join(d, f"{tag.replace('/', '_')}_{step}.png"))
-        except Exception:
-            pass
+        except ImportError:
+            Image = None  # PNG export is optional; TB path below still works
+        if Image is not None:
+            try:
+                Image.fromarray(arr).save(
+                    os.path.join(d, f"{tag.replace('/', '_')}_{step}.png"))
+            except Exception as e:  # bad dtype/shape: diagnose, don't die mid-train
+                print(f"[logger] image save failed for {tag}@{step}: {e!r}")
         if self.tb is not None:
             self.tb.add_image(tag, arr, step, dataformats="HWC")
 
