@@ -18,6 +18,15 @@ Prints ONE JSON line on stdout:
                   tunnel — it can return at enqueue time; earlier rounds'
                   numbers measured dispatch rate, not execution). The ~40 ms
                   dispatch+fetch constant is ~1% of one timed scan.
+
+                  Two modes are measured: ``space_to_depth`` first
+                  (ops/packed.py: the 16-channel top level runs 2x2-pixel-packed
+                  at 4x MXU-lane utilization — exact same math via apply-time
+                  kernel folding; ~2x the unpacked rate, so the headline is
+                  banked early), then the unpacked base as the comparison line,
+                  skipped when over half the budget is gone. The JSON line
+                  reports the better one in ``value`` with the mode in
+                  ``"mode"``.
 ``vs_baseline`` — ratio vs the PyTorch-CPU reference-equivalent iteration
                   (BASELINE.md target: >=5x). The torch baseline mirrors the
                   reference's per-iteration work (6 U-Net-scale forwards,
@@ -27,10 +36,14 @@ Prints ONE JSON line on stdout:
                   iteration takes ~43 s, too slow to remeasure per run).
 
 Budget: the whole script must finish inside the driver's timeout. A watchdog
-thread (``WT_PSE_BENCH_BUDGET_S``, default 240 s) prints the JSON line with
+thread (``WT_PSE_BENCH_BUDGET_S``, default 540 s) prints the JSON line with
 whatever has been measured so far and exits if the deadline nears — a partial
 single-rep number beats a timeout with no record (round 2's ``BENCH_r02.json``
-was ``rc: 124, parsed: null``).
+was ``rc: 124, parsed: null``). Warm-cache wall times measured round 3: both
+modes in 123 s on a free chip; PLUS up to ~6 minutes of axon TPU-claim wait if
+another python process used the chip within the last few minutes (the claim
+releases slowly even after a clean exit) — that wait is probed and logged
+separately as "waiting for TPU claim" before any compile starts.
 """
 
 from __future__ import annotations
@@ -80,6 +93,7 @@ def emit(note: str) -> bool:
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / torch_ips, 2) if torch_ips else None,
+        "mode": progress.get("mode"),
     }), flush=True)
     return True
 
@@ -191,19 +205,28 @@ def torch_cpu_baseline_ips() -> float:
 def jax_train_ips() -> float:
     """Steady-state throughput of the FUSED production step: per-domain sampling
     from the HBM-resident dataset + on-device RandomScaleCrop/Normalize_tf + the
-    full 4-phase update, all one XLA program (what ``Trainer.train`` runs)."""
+    full 4-phase update, all one XLA program (what ``Trainer.train`` runs).
+
+    Measures the base mode first (banks a sane number), then space-to-depth;
+    keeps the better rate in ``progress`` (see module docstring)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     log(f"jax imported, backend={jax.default_backend()}")
 
+    # claim the device with a trivial blocking op BEFORE any compile: on axon,
+    # a recently-exited python process holds the TPU-session claim for minutes
+    # (even after a clean exit) and the wait surfaces at the first value fetch —
+    # probing here makes claim-wait and compile time separable in the log.
+    progress["note"] = "waiting for TPU claim"
+    t0 = time.time()
+    float(np.asarray(jax.numpy.zeros(()) + 1))
+    log(f"TPU claim acquired in {time.time() - t0:.1f}s")
+
     from wt_pse_tpu.config import default_hparams
     from wt_pse_tpu.data.fundus import FundusDomain
     from wt_pse_tpu.train.trainer import Trainer
-
-    hp = default_hparams("WT_PSE")
-    hp["compute_dtype"] = "bfloat16"  # production mixed-precision mode (see module docstring)
 
     rng = np.random.RandomState(0)
 
@@ -221,39 +244,63 @@ def jax_train_ips() -> float:
     # 12 images/domain: enough for distinct random batches, and the host->HBM
     # transfer over the tunnel is ~3x smaller than the 40/domain it replaces
     # (pool size does not change the per-step compute — sampling is random)
-    trainer = Trainer(
-        hparams=hp,
-        train_domains=[dom(12), dom(12), dom(12)], val_domain=val,
-        out_dir="/tmp/bench_run", label="OD", batch_size=B, max_epoch=1,
-        interval_validate=99, seed=1, val_visualization=False)
-    log("trainer built")
+    doms = [dom(12), dom(12), dom(12)]
 
-    # production path: one lax.scan program per epoch (Trainer.train's driver).
-    # MEASUREMENT NOTE: every timing forces an actual value fetch (see module
-    # docstring — block_until_ready can return at enqueue on the axon tunnel).
-    key = jax.random.PRNGKey(0)
-    progress["note"] = "compiling epoch scan"
-    state, m = trainer.epoch_step(trainer.state, trainer.data, key, 0, SCAN_N)
-    # epoch_step returns per-step metric stacks of shape (SCAN_N,); fetching
-    # the last element forces compile-run completion of the whole scan
-    float(np.asarray(m["loss_seg"])[-1])
-    log(f"scan({SCAN_N}) compiled + warm")
+    def measure(mode: str, s2d: bool):
+        hp = default_hparams("WT_PSE")
+        hp["compute_dtype"] = "bfloat16"  # production mixed precision
+        hp["space_to_depth"] = s2d
+        trainer = Trainer(
+            hparams=hp, train_domains=doms, val_domain=val,
+            out_dir=f"/tmp/bench_run_{mode}", label="OD", batch_size=B,
+            max_epoch=1, interval_validate=99, seed=1, val_visualization=False)
+        log(f"[{mode}] trainer built")
 
-    best = None
-    for rep in (1, 2):
-        progress["note"] = f"timed rep {rep}"
-        t0 = time.time()
-        state, m = trainer.epoch_step(state, trainer.data, key, rep * SCAN_N, SCAN_N)
-        assert np.isfinite(float(np.asarray(m["loss_seg"])[-1]))
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-        progress["ips"] = B / (best / SCAN_N)
-        log(f"rep {rep}: {dt:.2f}s for {SCAN_N} steps -> {B / (dt / SCAN_N):.2f} img/s")
+        # production path: one lax.scan program per epoch (Trainer.train's
+        # driver). MEASUREMENT NOTE: every timing forces an actual value fetch
+        # (module docstring — block_until_ready can return at enqueue on the
+        # axon tunnel).
+        key = jax.random.PRNGKey(0)
+        progress["note"] = f"compiling epoch scan [{mode}]"
+        state, m = trainer.epoch_step(trainer.state, trainer.data, key, 0, SCAN_N)
+        # epoch_step returns per-step metric stacks of shape (SCAN_N,); fetching
+        # the last element forces compile-run completion of the whole scan
+        float(np.asarray(m["loss_seg"])[-1])
+        log(f"[{mode}] scan({SCAN_N}) compiled + warm")
+
+        best = None
+        for rep in (1, 2):
+            progress["note"] = f"timed rep {rep} [{mode}]"
+            t0 = time.time()
+            state, m = trainer.epoch_step(state, trainer.data, key,
+                                          rep * SCAN_N, SCAN_N)
+            assert np.isfinite(float(np.asarray(m["loss_seg"])[-1]))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            log(f"[{mode}] rep {rep}: {dt:.2f}s for {SCAN_N} steps -> "
+                f"{B / (dt / SCAN_N):.2f} img/s")
+        ips = B / (best / SCAN_N)
+        if progress["ips"] is None or ips > progress["ips"]:
+            progress["ips"], progress["mode"] = ips, mode
+        return ips
+
+    # headline mode first (space_to_depth is the recommended production mode —
+    # ~2x the unpacked rate, exact same math): its number is banked before the
+    # unpacked comparison run. The second mode only starts if at least half the
+    # budget remains — a compile-cache load over the tunnel has been observed to
+    # take anywhere from 70 to 210 s for the same program, and a watchdog
+    # os._exit mid-compile leaves the axon claim wedged for the next process.
+    budget = float(os.environ.get("WT_PSE_BENCH_BUDGET_S", "540"))
+    measure("space_to_depth", True)
+    if time.time() - T0 < 0.5 * budget:
+        measure("unpacked", False)
+    else:
+        log("skipping unpacked comparison (over half the budget used)")
     return progress["ips"]
 
 
 def main():
-    watchdog(float(os.environ.get("WT_PSE_BENCH_BUDGET_S", "270")))
+    watchdog(float(os.environ.get("WT_PSE_BENCH_BUDGET_S", "540")))
     progress["note"] = "torch baseline"
     progress["torch_ips"] = torch_cpu_baseline_ips()
     progress["note"] = "importing jax"

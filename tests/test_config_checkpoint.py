@@ -1,6 +1,7 @@
 """Config system and checkpoint round-trips."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,7 @@ def test_repair_left_argv(tmp_path):
     assert left == ["--some-flag", "--compute_dtype"] and configs == []
 
 
+@pytest.mark.slow  # full-ensemble init + orbax save/restore (~45s); scripts/test.sh --slow
 def test_orbax_roundtrip(tmp_path):
     from wt_pse_tpu.models.common import ModelConfig
     from wt_pse_tpu.models.shape_prior import ShapeStudent

@@ -1,6 +1,7 @@
 """Device-resident validation metrics vs the host (scipy/medpy-parity) oracles."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def test_device_metrics_empty_prediction_guard(rng):
     assert float(m["disc_asd"][0]) == 100.0
 
 
+@pytest.mark.slow  # trainer build + two validation compiles (~30s); scripts/test.sh --slow
 def test_trainer_fast_validation_flag(tmp_path, rng):
     from wt_pse_tpu.config import default_hparams
     from wt_pse_tpu.data.fundus import FundusDomain

@@ -129,6 +129,7 @@ def _mk_inputs(rng, b=2, hw=32):
     return jnp.asarray(img), jnp.asarray(mask), jnp.asarray(eps)
 
 
+@pytest.mark.slow  # whole-net fwd+grad compile x2 (~1 min); scripts/test.sh --slow
 def test_wtpse_forward_and_grad_parity(rng):
     """Full WTPSE train forward (prior sampling + attention fusion + whitening
     features) and its parameter gradients: packed == unpacked on the same
