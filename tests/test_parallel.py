@@ -110,3 +110,87 @@ def test_dp_matches_single_device_semantics():
     a = np.asarray(jax.tree.leaves(new_dp.od.params)[0])
     b = np.asarray(jax.tree.leaves(new_1.od.params)[0])
     np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-5)
+
+
+def test_dp_s2d_whitening_matches_single_device():
+    """Packed whitening under shard_map: whitening_loss_single(packed=True) on 2
+    devices (MMD vectors all_gathered + re-interleaved) == unpacked single-device
+    loss on the same global batch — the covariance is layout-invariant and the
+    gather must preserve domain-contiguity either way."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from wt_pse_tpu.ops.packed import pack
+    from wt_pse_tpu.ops.whitening import whitening_loss_single
+
+    domain_num, pdb_global, hw, c, n_dev = 3, 2, 16, 16, 2
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(rng.randn(domain_num * pdb_global, hw, hw, c)
+                    .astype(np.float32))
+
+    ref = whitening_loss_single(z, domain_num, pdb_global, margin=0.1)
+
+    mesh = data_mesh(n_dev)
+    # device-local layout: each device holds pdb_local items of EVERY domain
+    # (the DP sampler's layout) -> global batch = interleave(domain, device)
+    pdb_local = pdb_global // n_dev
+    local = z.reshape(domain_num, pdb_global, hw, hw, c)
+    dev_batches = [
+        pack(jnp.concatenate([local[d, dev * pdb_local:(dev + 1) * pdb_local]
+                              for d in range(domain_num)]))
+        for dev in range(n_dev)
+    ]
+    stacked = jnp.stack(dev_batches)  # (n_dev, local_b, hw/2, hw/2, 4c)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+    def run(zp):
+        zp = zp[0]  # shard_map keeps the leading stacked axis locally
+        off, diag, dom = whitening_loss_single(
+            zp, domain_num, pdb_local, margin=0.1, axis_name="data",
+            axis_size=n_dev, packed=True)
+        return jnp.stack([off, diag, dom])[None]
+
+    with mesh:
+        got = np.asarray(run(stacked))  # (n_dev, 3) per-device values
+    # instance terms are device-local means over equal shards: their average
+    # equals the global-batch value (that's what the gradient pmean realizes)
+    np.testing.assert_allclose(got[:, 0].mean(), float(ref[0]), rtol=1e-5)
+    np.testing.assert_allclose(got[:, 1].mean(), float(ref[1]), rtol=1e-5)
+    # the domain MMD is computed on the all_gathered global set: identical on
+    # every device and equal to the single-device value
+    np.testing.assert_allclose(got[:, 2], float(ref[2]), rtol=1e-5)
+
+
+def test_dp_s2d_full_step_runs_and_is_finite():
+    """Full 4-phase DP step with space_to_depth=True on 2 devices: the packed
+    layout must compose with sync-BN pmean (phase-grouped statistics), the
+    pos-weight psum and the MMD gather; metrics finite, state updated."""
+    hw, domain_num, n_dev, pdb_global = 32, 3, 2, 2
+    hp = dict(default_hparams("WT_PSE"), space_to_depth=True)
+    cfg = ModelConfig.from_hparams(hp, bn_axis_name="data")
+    nets = (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
+            ShapeStudent(cfg))
+    state, txs = init_ensemble(*nets, (domain_num * pdb_global, hw, hw, 3),
+                               jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(1)
+    data = {"images": jnp.asarray((rng.rand(domain_num, 4, hw, hw, 3) * 255)
+                                  .astype(np.uint8)),
+            "labels": jnp.asarray(rng.choice([0, 128, 255],
+                                             size=(domain_num, 4, hw, hw))
+                                  .astype(np.uint8)),
+            "sizes": jnp.asarray([4, 4, 4], jnp.int32)}
+
+    before = np.asarray(jax.tree.leaves(state.od.params)[0]).copy()
+    mesh = data_mesh(n_dev)
+    with mesh:
+        dp_step = make_dp_train_step(*nets, txs, hp, mesh, domain_num,
+                                     pdb_global)
+        new_state, m = dp_step(state, data, jax.random.PRNGKey(5))  # donates state
+
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    after = np.asarray(jax.tree.leaves(new_state.od.params)[0])
+    assert not np.allclose(before, after)
