@@ -30,6 +30,17 @@ _COMMON = {
     "lr_sc": 1e-3,
     "batch_size": 9,
     "weight_decay": 0.0,
+    # --- framework extensions beyond the reference surface (all default to the
+    # reference behavior; override as CLI leftovers, e.g. `--compute_dtype
+    # bfloat16 --space_to_depth true`) ---
+    # bf16 MXU compute with f32 master params/BN/losses; None = f32 HIGHEST
+    "compute_dtype": None,
+    # 2x2 space-to-depth execution of the 16-channel top level (ops/packed.py):
+    # exact same math, ~2x the step rate on TPU
+    "space_to_depth": False,
+    # fused Pallas covariance kernel for the whitening loss (validated-correct;
+    # XLA's einsum is faster at the shipped 16-channel shape, so default off)
+    "use_pallas_whitening": False,
 }
 
 _WT_PSE = {
