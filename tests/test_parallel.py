@@ -163,12 +163,15 @@ def test_dp_s2d_whitening_matches_single_device():
     np.testing.assert_allclose(got[:, 2], float(ref[2]), rtol=1e-5)
 
 
-def test_dp_s2d_full_step_runs_and_is_finite():
+@pytest.mark.parametrize("levels", [1, 2])
+def test_dp_s2d_full_step_runs_and_is_finite(levels):
     """Full 4-phase DP step with space_to_depth=True on 2 devices: the packed
     layout must compose with sync-BN pmean (phase-grouped statistics), the
-    pos-weight psum and the MMD gather; metrics finite, state updated."""
+    pos-weight psum and the MMD gather; metrics finite, state updated.
+    ``levels=2`` also runs the second U-Net level folded under shard_map."""
     hw, domain_num, n_dev, pdb_global = 32, 3, 2, 2
-    hp = dict(default_hparams("WT_PSE"), space_to_depth=True)
+    hp = dict(default_hparams("WT_PSE"), space_to_depth=True,
+              space_to_depth_levels=levels)
     cfg = ModelConfig.from_hparams(hp, bn_axis_name="data")
     nets = (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
             ShapeStudent(cfg))

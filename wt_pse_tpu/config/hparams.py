@@ -38,6 +38,9 @@ _COMMON = {
     # 2x2 space-to-depth execution of the 16-channel top level (ops/packed.py):
     # exact same math, ~2x the step rate on TPU
     "space_to_depth": False,
+    # how many U-Net levels run packed under space_to_depth: 1 = top level,
+    # 2 = also the 128²/32ch level (full 128-lane utilization there)
+    "space_to_depth_levels": 1,
     # fused Pallas covariance kernel for the whitening loss (validated-correct;
     # XLA's einsum is faster at the shipped 16-channel shape, so default off)
     "use_pallas_whitening": False,

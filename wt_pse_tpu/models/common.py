@@ -32,6 +32,11 @@ class ModelConfig:
     # exact kernel folding at apply time — see ops/packed.py). Train-path only;
     # eval/predict and checkpoints are layout-independent.
     s2d: bool = False
+    # how many U-Net levels run packed when `s2d` (hparam
+    # `space_to_depth_levels`): 1 = top level only (256²/16ch); 2 = also the
+    # second level (128²/32ch -> 64²/128ch, full MXU/VPU lane utilization).
+    # Same exact-folding machinery at every level.
+    s2d_levels: int = 1
 
     @classmethod
     def from_hparams(cls, hparams: dict, n_channels: int = 3, n_classes: int = 1,
@@ -48,6 +53,7 @@ class ModelConfig:
             bn_axis_name=bn_axis_name,
             compute_dtype=None if dtype in (None, "float32") else str(dtype),
             s2d=bool(hparams.get("space_to_depth", False)),
+            s2d_levels=int(hparams.get("space_to_depth_levels", 1)),
         )
 
 
@@ -57,15 +63,21 @@ def unet_run(m, x1, train: bool, packed: bool = False):
 
     Returns the final 2n-channel decoder feature map at input resolution.
     ``packed=True``: ``x1`` is a space-to-depth tensor; down1's entry pool
-    unpacks it (phase-max) so levels 2-5 run unpacked at their native sizes,
+    unpacks it (phase-max) so levels 2+ run unpacked at their native sizes,
     and up4 re-enters packed layout through its upsample (result is packed).
+    With ``m.cfg.s2d_levels >= 2`` the second level also runs packed: down1
+    re-packs its pooled input and emits a packed ``x2``; down2's entry
+    phase-max consumes it; up3 emits the level-2 map packed (packed skip
+    concat is layout-valid — channel-major phases); up4's conv1 runs folded
+    before unpacking into its own upsample.
     """
-    x2 = m.down1(x1, train, packed_input=packed)
-    x3 = m.down2(x2, train)
+    l2 = packed and getattr(m.cfg, "s2d_levels", 1) >= 2
+    x2 = m.down1(x1, train, packed_input=packed, repack_input=l2)
+    x3 = m.down2(x2, train, packed_input=l2)
     x4 = m.down3(x3, train)
     x5 = m.down4(x4, train)
     x = m.up1(x5, x4, train)
     x = m.up2(x, x3, train)
-    x = m.up3(x, x2, train)
-    x = m.up4(x, x1, train, packed_out=packed)
+    x = m.up3(x, x2, train, packed_out=l2)
+    x = m.up4(x, x1, train, packed_out=packed, packed_input=l2)
     return x

@@ -250,16 +250,22 @@ class ConvD(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, packed: bool = False,
-                 packed_input: bool = False) -> jax.Array:
+                 packed_input: bool = False, repack_input: bool = False) -> jax.Array:
         """``packed``: run the whole block in space-to-depth layout (first
         blocks at the top level). ``packed_input``: input is packed but the
         block starts with the 2x2 maxpool, which unpacks it for free (phase-max
-        == pool, ops/packed.py) — the rest runs at half resolution unpacked."""
+        == pool, ops/packed.py) — the rest runs at half resolution unpacked.
+        ``repack_input`` (with ``packed_input``): after the phase-max the
+        pooled map is re-packed and the block's convs/BNs run folded one level
+        down (``s2d_levels >= 2``); the output stays packed."""
         if not self.first:
             if packed_input:
-                from wt_pse_tpu.ops.packed import phase_max_unpool
+                from wt_pse_tpu.ops.packed import pack, phase_max_unpool
 
                 x = phase_max_unpool(x)
+                if repack_input:
+                    x = pack(x)
+                    packed = True
             else:
                 x = max_pool_2x2(x)
         x = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x, packed)
@@ -290,16 +296,23 @@ class ConvU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, prev: jax.Array, train: bool,
-                 packed_out: bool = False) -> jax.Array:
-        """``packed_out``: the top decoder block — ``x`` arrives unpacked at
-        half resolution, the 2x upsample emits a packed tensor directly
-        (ops/packed.py), ``prev`` is the packed skip, and everything above the
-        upsample runs in space-to-depth layout."""
+                 packed_out: bool = False, packed_input: bool = False) -> jax.Array:
+        """``packed_out``: ``x`` arrives unpacked at half resolution, the 2x
+        upsample emits a packed tensor directly (ops/packed.py), ``prev`` is
+        the packed skip, and everything above the upsample runs in
+        space-to-depth layout. ``packed_input`` (``s2d_levels >= 2``): ``x``
+        arrives packed one level further down — conv1/bn1 run folded, then the
+        map unpacks into the upsample (which re-packs at the output level when
+        ``packed_out``)."""
         p = self.planes
         if not self.first:
-            x = conv3x3(p, name="conv1", dtype=self.dtype)(x)
-            x = BatchNorm(p, axis_name=self.bn_axis_name, name="bn1")(x, train)
+            x = conv3x3(p, name="conv1", dtype=self.dtype)(x, packed_input)
+            x = BatchNorm(p, axis_name=self.bn_axis_name, name="bn1")(x, train, packed_input)
             x = nn.relu(x)
+        if packed_input:
+            from wt_pse_tpu.ops.packed import unpack
+
+            x = unpack(x)
         if packed_out:
             from wt_pse_tpu.ops.packed import upsample2x_packed
 
