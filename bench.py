@@ -85,7 +85,7 @@ def emit(note: str) -> bool:
         print(json.dumps({
             "metric": "WT-PSE 4-phase train throughput, bf16 mixed precision (batch 9, 256x256)",
             "value": None, "unit": "images/sec/chip", "vs_baseline": None,
-            "error": f"budget exhausted before first measurement ({note})",
+            "error": f"no measurement completed ({note})",
         }), flush=True)
         return True
     print(json.dumps({
@@ -304,8 +304,14 @@ def main():
     progress["note"] = "torch baseline"
     progress["torch_ips"] = torch_cpu_baseline_ips()
     progress["note"] = "importing jax"
-    jax_train_ips()
-    emit("complete")
+    try:
+        jax_train_ips()
+    except Exception as e:  # backend outage (e.g. axon UNAVAILABLE) — still
+        # print the one JSON line so the driver records an explicit failure
+        # (or a partial number if one mode finished) instead of a crash
+        log(f"measurement aborted: {type(e).__name__}: {e}")
+        progress["note"] = f"{type(e).__name__}: {e}"
+    emit(progress["note"])
     # fall through to a CLEAN interpreter exit — see watchdog() docstring
 
 
