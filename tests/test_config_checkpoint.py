@@ -51,6 +51,21 @@ def test_argv_update_forms():
     assert cfg["a"] == 2 and cfg["b"]["c"] == 3 and cfg["flag"] is True
 
 
+def test_perf_hparams_typed_through_cli_leftovers():
+    """The perf knobs ride the CLI leftovers and must come back typed."""
+    cfg = load_config(default_hparams("WT_PSE"), left_argv=[
+        "--compute_dtype", "bfloat16", "--space_to_depth", "true",
+        "--space_to_depth_levels", "2"])
+    assert cfg["compute_dtype"] == "bfloat16"
+    assert cfg["space_to_depth"] is True
+    assert cfg["space_to_depth_levels"] == 2 and isinstance(
+        cfg["space_to_depth_levels"], int)
+    from wt_pse_tpu.models.common import ModelConfig
+
+    mc = ModelConfig.from_hparams(cfg)
+    assert mc.s2d and mc.s2d_levels == 2
+
+
 def test_repair_left_argv(tmp_path):
     """argparse steals unknown flags' values into the configs positional; the
     CLI re-pairs them (see cli/train._repair_left_argv)."""
