@@ -130,7 +130,7 @@ def _mk_inputs(rng, b=2, hw=32):
 
 
 @pytest.mark.slow  # whole-net fwd+grad compile x2 (~1 min); scripts/test.sh --slow
-@pytest.mark.parametrize("levels", [1, 2])
+@pytest.mark.parametrize("levels", [1, 2, 3])
 def test_wtpse_forward_and_grad_parity(rng, levels):
     """Full WTPSE train forward (prior sampling + attention fusion + whitening
     features) and its parameter gradients: packed == unpacked on the same
@@ -189,7 +189,7 @@ def test_wtpse_forward_and_grad_parity(rng, levels):
         np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("levels", [1, 2])
+@pytest.mark.parametrize("levels", [1, 2, 3])
 def test_student_update_forward_parity(rng, levels):
     hp = default_hparams("WT_PSE")
     cfg_u = ModelConfig.from_hparams(hp)
@@ -234,7 +234,7 @@ def test_train_step_parity_no_sampling(rng):
     key = jax.random.PRNGKey(7)
 
     results = []
-    for s2d, levels in ((False, 1), (True, 1), (True, 2)):
+    for s2d, levels in ((False, 1), (True, 1), (True, 2), (True, 3)):
         hp = dict(base, space_to_depth=s2d, space_to_depth_levels=levels)
         cfg = ModelConfig.from_hparams(hp)
         main_od, stud_od = WTPSE(cfg), ShapeStudent(cfg)
@@ -246,8 +246,8 @@ def test_train_step_parity_no_sampling(rng):
                               donate=False)
         results.append(step(state, batch, key))
 
-    (st_u, m_u), (st_p, m_p), (st_p2, m_p2) = results
-    for mp, stp in ((m_p, st_p), (m_p2, st_p2)):
+    (st_u, m_u), *packed_results = results
+    for stp, mp in packed_results:
         assert set(m_u) == set(mp)
         for k in m_u:
             np.testing.assert_allclose(m_u[k], mp[k], rtol=2e-4, atol=1e-6, err_msg=k)

@@ -39,7 +39,8 @@ _COMMON = {
     # exact same math, ~2x the step rate on TPU
     "space_to_depth": False,
     # how many U-Net levels run packed under space_to_depth: 1 = top level,
-    # 2 = also the 128²/32ch level (full 128-lane utilization there)
+    # 2 = also the 128²/32ch level (full 128-lane utilization there),
+    # 3 = also the 64²/64ch level
     "space_to_depth_levels": 1,
     # fused Pallas covariance kernel for the whitening loss (validated-correct;
     # XLA's einsum is faster at the shipped 16-channel shape, so default off)

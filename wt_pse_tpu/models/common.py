@@ -34,8 +34,9 @@ class ModelConfig:
     s2d: bool = False
     # how many U-Net levels run packed when `s2d` (hparam
     # `space_to_depth_levels`): 1 = top level only (256²/16ch); 2 = also the
-    # second level (128²/32ch -> 64²/128ch, full MXU/VPU lane utilization).
-    # Same exact-folding machinery at every level.
+    # second level (128²/32ch -> 64²/128ch, full MXU/VPU lane utilization);
+    # 3 = also the third (64²/64ch -> 32²/256ch). Same exact-folding machinery
+    # at every level; the flag cascade in `unet_run` is regular per level.
     s2d_levels: int = 1
 
     @classmethod
@@ -69,15 +70,18 @@ def unet_run(m, x1, train: bool, packed: bool = False):
     re-packs its pooled input and emits a packed ``x2``; down2's entry
     phase-max consumes it; up3 emits the level-2 map packed (packed skip
     concat is layout-valid — channel-major phases); up4's conv1 runs folded
-    before unpacking into its own upsample.
+    before unpacking into its own upsample. ``>= 3`` applies the identical
+    cascade one level further (down2 repacks, down3 unpools, up2 emits
+    packed, up3's conv1 runs folded).
     """
-    l2 = packed and getattr(m.cfg, "s2d_levels", 1) >= 2
+    lv = getattr(m.cfg, "s2d_levels", 1) if packed else 0
+    l2, l3 = lv >= 2, lv >= 3
     x2 = m.down1(x1, train, packed_input=packed, repack_input=l2)
-    x3 = m.down2(x2, train, packed_input=l2)
-    x4 = m.down3(x3, train)
+    x3 = m.down2(x2, train, packed_input=l2, repack_input=l3)
+    x4 = m.down3(x3, train, packed_input=l3)
     x5 = m.down4(x4, train)
     x = m.up1(x5, x4, train)
-    x = m.up2(x, x3, train)
-    x = m.up3(x, x2, train, packed_out=l2)
+    x = m.up2(x, x3, train, packed_out=l3)
+    x = m.up3(x, x2, train, packed_out=l2, packed_input=l3)
     x = m.up4(x, x1, train, packed_out=packed, packed_input=l2)
     return x
