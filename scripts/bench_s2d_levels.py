@@ -1,0 +1,94 @@
+"""Full fused 4-phase step at space_to_depth_levels 1/2/3 (+ unpacked base).
+
+Decides the production default for `space_to_depth_levels`: each deeper level
+trades 4x MXU/VPU lane utilization at that level against pack/unpack
+transposes and folded-kernel construction. Exactness at every level is gated
+by tests/test_packed.py; this script only measures.
+
+Marginal-scan methodology (bench_step_breakdown.py): N vs 3N epoch scans,
+forced value fetch, dispatch constants cancel.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import numpy as np
+
+B, HW, N = 9, 256, 10
+
+
+def marginal_ms(make_scan, label):
+    fns = {n: make_scan(n) for n in (N, 3 * N)}
+    for f in fns.values():
+        float(np.asarray(f()))
+    times = {}
+    for n, f in fns.items():
+        t0 = time.time()
+        float(np.asarray(f()))
+        times[n] = time.time() - t0
+    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
+    print(f"{label:34s} {ms:9.2f} ms/step  {B / ms * 1e3:7.2f} img/s   "
+          f"(T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)", flush=True)
+    return ms
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    from wt_pse_tpu.config import default_hparams
+    from wt_pse_tpu.data.fundus import FundusDomain
+    from wt_pse_tpu.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+
+    def dom(n):
+        return FundusDomain(
+            images=(rng.rand(n, HW, HW, 3) * 255).astype(np.uint8),
+            labels=rng.choice([0, 128, 255], size=(n, HW, HW)).astype(np.uint8),
+            names=[str(i) for i in range(n)])
+
+    val = FundusDomain(
+        images=(rng.rand(2, HW, HW, 3) * 255).astype(np.uint8),
+        labels=[rng.choice([0, 128, 255], size=(412, 412)).astype(np.uint8)
+                for _ in range(2)],
+        names=["a", "b"])
+    doms = [dom(12), dom(12), dom(12)]
+
+    variants = [("s2d levels=1", dict(space_to_depth=True)),
+                ("s2d levels=2", dict(space_to_depth=True,
+                                      space_to_depth_levels=2)),
+                ("s2d levels=3", dict(space_to_depth=True,
+                                      space_to_depth_levels=3)),
+                ("unpacked base", {})]
+    for label, over in variants:
+        hp = default_hparams("WT_PSE")
+        hp["compute_dtype"] = "bfloat16"
+        hp.update(over)
+        tr = Trainer(hparams=hp, train_domains=doms, val_domain=val,
+                     out_dir="/tmp/bench_s2d_levels", label="OD",
+                     batch_size=B, max_epoch=1, interval_validate=99, seed=1,
+                     val_visualization=False)
+
+        def make(n, tr=tr):
+            def run():
+                st, m = tr.epoch_step(
+                    jax.tree.map(jnp.copy, tr.state), tr.data,
+                    jax.random.PRNGKey(0), 0, n)
+                return m["loss_seg"][-1]
+            return run
+
+        marginal_ms(make, label)
+
+
+if __name__ == "__main__":
+    main()
