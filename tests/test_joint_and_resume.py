@@ -89,6 +89,29 @@ def test_joint_algorithm_with_whitening_trains(fundus_root, tmp_path):
     assert rec["loss_ins_wt"] > 0  # whitening losses active in the seg phases
 
 
+def test_joint_algorithm_s2d_trains(fundus_root, tmp_path):
+    """joint variant composes with space-to-depth (both packing levels share
+    unet_run's cascade); one epoch runs, losses finite."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = dict(default_hparams("Unet_nips2023_joint_shape_regularization"),
+                   space_to_depth=True, space_to_depth_levels=2)
+    train_doms, val_dom = _domains(fundus_root)
+    trainer = Trainer(
+        hparams=hparams, train_domains=train_doms, val_domain=val_dom,
+        out_dir=str(tmp_path / "joint_s2d"), label="OD", batch_size=3,
+        max_epoch=1, interval_validate=4, seed=1, image_size=SIZE,
+        algorithm="Unet_nips2023_joint_shape_regularization",
+    )
+    best = trainer.train()
+    assert len(best) == 6
+    import json
+
+    rec = json.loads(
+        open(os.path.join(str(tmp_path / "joint_s2d"), "metrics.jsonl")).readline())
+    assert np.isfinite(rec["loss_seg"]) and np.isfinite(rec["loss_seg_oc"])
+
+
 def test_resume_roundtrip(fundus_root, tmp_path):
     from wt_pse_tpu.io.checkpoint import save_ensemble
     from wt_pse_tpu.train.trainer import Trainer
