@@ -260,3 +260,40 @@ def test_train_step_parity_no_sampling(rng):
             for a, b in zip(jax.tree.leaves(getattr(st_u, name).params),
                             jax.tree.leaves(getattr(stp, name).params)):
                 np.testing.assert_allclose(a, b, rtol=2e-3, atol=1.5e-3)
+
+
+@pytest.mark.parametrize("levels", [1, 2])
+def test_packed_two_stage_predict_parity(rng, levels):
+    """The packed eval path (make_predict_fn(packed=True) — fast-validation
+    under s2d) must match the unpacked checkpoint-parity path: logits to
+    reassociation level, thresholded masks at margin."""
+    from wt_pse_tpu.train.eval import make_predict_fn
+
+    hp = dict(default_hparams("WT_PSE"), space_to_depth=True,
+              space_to_depth_levels=levels)
+    cfg = ModelConfig.from_hparams(hp)
+    main_od, stud_od = WTPSE(cfg), ShapeStudent(cfg)
+    main_oc, stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+    img, mask, _ = _mk_inputs(rng)
+    k = jax.random.PRNGKey(0)
+    v_od = main_od.init({"params": k}, img, mask, method=WTPSE.initialize)
+    v_od_shape = stud_od.init({"params": k}, img, method=ShapeStudent.initialize)
+    v_oc = main_oc.init({"params": jax.random.PRNGKey(1)}, img, mask,
+                        method=WTPSE.initialize)
+    v_oc_shape = stud_oc.init({"params": jax.random.PRNGKey(1)}, img,
+                              method=ShapeStudent.initialize)
+    args = (v_od, v_od_shape, v_oc, v_oc_shape, img)
+
+    p_u = make_predict_fn(main_od, stud_od, main_oc, stud_oc, packed=False)
+    p_p = make_predict_fn(main_od, stud_od, main_oc, stud_oc, packed=True)
+    od_u, oc_u = p_u(*args)
+    od_p, oc_p = p_p(*args)
+    np.testing.assert_allclose(od_p, od_u, rtol=1e-4, atol=5e-5)
+    # stage 2 sees a thresholded stage-1 mask: a reassociation flip of one
+    # borderline pixel changes the ROI, so compare where the mask agrees
+    agree = np.asarray(jax.nn.sigmoid(od_u) > 0.75) == np.asarray(
+        jax.nn.sigmoid(od_p) > 0.75)
+    assert agree.mean() > 0.999
+    np.testing.assert_allclose(np.where(agree, np.asarray(oc_p), 0.0),
+                               np.where(agree, np.asarray(oc_u), 0.0),
+                               rtol=1e-4, atol=5e-5)

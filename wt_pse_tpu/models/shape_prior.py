@@ -160,11 +160,13 @@ class ShapeStudent(nn.Module):
         z = sampled_z * std + mu  # deliberate reference quirk, see module docstring
         return z, mu
 
-    def sample_from_image(self, image: jax.Array, train: bool = False):
-        """wt_model -> trunk -> mu, the full student inference path (eval —
-        always unpacked; checkpoint parity path)."""
-        feats = self.wt_model(image)
-        return self(feats[-1], train=train, sample=False)
+    def sample_from_image(self, image: jax.Array, train: bool = False,
+                          packed: bool = False):
+        """wt_model -> trunk -> mu, the full student inference path. Unpacked
+        by default (checkpoint parity path); ``packed`` runs space-to-depth
+        (exact same math — fast-validation path)."""
+        feats = self.wt_model(image, packed)
+        return self(feats[-1], train=train, sample=False, packed=packed)
 
     def update_forward(self, image: jax.Array, train: bool = True,
                        eps: jax.Array | None = None):

@@ -114,17 +114,19 @@ class WTPSE(nn.Module):
 
     # -- inference forward (reference .predict(), algorithms.py:1311-1353) --
 
-    def predict_with_shape(self, inputs, z_posterior):
+    def predict_with_shape(self, inputs, z_posterior, packed: bool = False):
         """Eval forward given the *student's* shape sample (the student net is a
-        separate parameter tree; the trainer wires them together)."""
-        embedding = self.embed(inputs, train=False)
+        separate parameter tree; the trainer wires them together). ``packed``
+        runs the space-to-depth layout (exact same math — fast-validation
+        path); the default unpacked path is the checkpoint-parity one."""
+        embedding = self.embed(inputs, train=False, packed=packed)
         if self.cfg.shape_prior:
-            embedding, _ = self._fuse(embedding, z_posterior)
-        return self.outc(embedding)
+            embedding, _ = self._fuse(embedding, z_posterior, packed)
+        return self.outc(embedding, packed)
 
-    def predict_no_shape(self, inputs):
+    def predict_no_shape(self, inputs, packed: bool = False):
         """Eval forward with shape_prior disabled (seg-only baseline config)."""
-        return self.outc(self.embed(inputs, train=False))
+        return self.outc(self.embed(inputs, train=False, packed=packed), packed)
 
     # -- teacher access for the student's distillation step -----------------
 

@@ -33,8 +33,13 @@ from wt_pse_tpu.ops.postprocess import postprocess_logits
 
 
 def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
-                    stud_oc: ShapeStudent):
-    """Jitted (variables..., image) -> (od_logits, oc_logits) at 256x256."""
+                    stud_oc: ShapeStudent, packed: bool = False):
+    """Jitted (variables..., image) -> (od_logits, oc_logits) at 256x256.
+
+    ``packed=True`` runs both stages in space-to-depth layout (ops/packed.py —
+    exact same math, ~2x the rate; the packing depth follows the nets'
+    ``cfg.s2d_levels``). Off by default: the unpacked path is the
+    checkpoint-parity path."""
     shape_prior = main_od.cfg.shape_prior
 
     @jax.jit
@@ -46,21 +51,35 @@ def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
             return _predict(v_od, v_od_shape, v_oc, v_oc_shape, image)
 
     def _predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
+        if packed:
+            from wt_pse_tpu.ops.packed import pack, pbroadcast_mul, unpack
+
+            image = pack(image)
         if shape_prior:
-            z = stud_od.apply(v_od_shape, image, False,
+            z = stud_od.apply(v_od_shape, image, False, packed,
                               method=ShapeStudent.sample_from_image)
-            out_od = main_od.apply(v_od, image, z, method=WTPSE.predict_with_shape)
+            out_od = main_od.apply(v_od, image, z, packed,
+                                   method=WTPSE.predict_with_shape)
         else:
-            out_od = main_od.apply(v_od, image, method=WTPSE.predict_no_shape)
+            out_od = main_od.apply(v_od, image, packed,
+                                   method=WTPSE.predict_no_shape)
         od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
-        roi = (image + 1.0) * od_pred - 1.0
-        if shape_prior:
-            z2 = stud_oc.apply(v_oc_shape, roi, False,
-                               method=ShapeStudent.sample_from_image)
-            out_oc = main_oc.apply(v_oc, roi, z2, method=WTPSE.predict_with_shape)
+        if packed:
+            roi = pbroadcast_mul(image + 1.0, od_pred) - 1.0
         else:
-            out_oc = main_oc.apply(v_oc, roi, method=WTPSE.predict_no_shape)
-        return out_od, out_oc * od_pred
+            roi = (image + 1.0) * od_pred - 1.0
+        if shape_prior:
+            z2 = stud_oc.apply(v_oc_shape, roi, False, packed,
+                               method=ShapeStudent.sample_from_image)
+            out_oc = main_oc.apply(v_oc, roi, z2, packed,
+                                   method=WTPSE.predict_with_shape)
+        else:
+            out_oc = main_oc.apply(v_oc, roi, packed,
+                                   method=WTPSE.predict_no_shape)
+        out_oc = out_oc * od_pred
+        if packed:
+            out_od, out_oc = unpack(out_od), unpack(out_oc)
+        return out_od, out_oc
 
     return predict
 

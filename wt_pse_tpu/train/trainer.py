@@ -209,8 +209,12 @@ class Trainer:
 
             self.predict_fn = make_predict_fn_joint(self.main_od, self.main_oc)
         else:
-            self.predict_fn = make_predict_fn(self.main_od, self.stud_od,
-                                              self.main_oc, self.stud_oc)
+            # fast_validation opts into the packed (space-to-depth) predict
+            # when the training mode is packed anyway — exact same math at
+            # reassociation level; the host/parity path stays unpacked
+            self.predict_fn = make_predict_fn(
+                self.main_od, self.stud_od, self.main_oc, self.stud_oc,
+                packed=bool(fast_validation and self.cfg.s2d))
 
         # eval data: encoded native-res masks per image
         self.val_images = val_domain.images
