@@ -297,3 +297,29 @@ def test_packed_two_stage_predict_parity(rng, levels):
     np.testing.assert_allclose(np.where(agree, np.asarray(oc_p), 0.0),
                                np.where(agree, np.asarray(oc_u), 0.0),
                                rtol=1e-4, atol=5e-5)
+
+
+def test_packed_joint_predict_parity(rng):
+    """Joint-variant packed predict matches the unpacked parity path."""
+    from wt_pse_tpu.models.joint import JointShapeReg
+    from wt_pse_tpu.train.eval import make_predict_fn_joint
+
+    hp = dict(default_hparams("Unet_nips2023_joint_shape_regularization"),
+              space_to_depth=True, space_to_depth_levels=2)
+    cfg = ModelConfig.from_hparams(hp)
+    m_od, m_oc = JointShapeReg(cfg), JointShapeReg(cfg)
+    img, mask, _ = _mk_inputs(rng)
+    v_od = m_od.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(9)},
+                     img, mask, method=JointShapeReg.initialize)
+    v_oc = m_oc.init({"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(9)},
+                     img, mask, method=JointShapeReg.initialize)
+    args = (v_od, None, v_oc, None, img)
+    od_u, oc_u = make_predict_fn_joint(m_od, m_oc, packed=False)(*args)
+    od_p, oc_p = make_predict_fn_joint(m_od, m_oc, packed=True)(*args)
+    np.testing.assert_allclose(od_p, od_u, rtol=1e-4, atol=5e-5)
+    agree = np.asarray(jax.nn.sigmoid(od_u) > 0.75) == np.asarray(
+        jax.nn.sigmoid(od_p) > 0.75)
+    assert agree.mean() > 0.999
+    np.testing.assert_allclose(np.where(agree, np.asarray(oc_p), 0.0),
+                               np.where(agree, np.asarray(oc_u), 0.0),
+                               rtol=1e-4, atol=5e-5)

@@ -108,16 +108,17 @@ class JointShapeReg(nn.Module):
                 att_mask = (att > 0.75).astype(jnp.float32)
         return self.outc(embedding, packed), att_mask, wt_feats
 
-    def predict(self, inputs, wt_inputs=None):
-        """Eval forward: prior mean (no sampling), same fusion."""
+    def predict(self, inputs, wt_inputs=None, packed: bool = False):
+        """Eval forward: prior mean (no sampling), same fusion. ``packed``
+        mirrors make_predict_fn's fast-validation layout option."""
         wt_inputs = inputs if wt_inputs is None else wt_inputs
-        embedding = self.embed(inputs, train=False)
+        embedding = self.embed(inputs, train=False, packed=packed)
         if self.cfg.shape_prior:
-            wt_feats = self.wt_model(wt_inputs)
+            wt_feats = self.wt_model(wt_inputs, packed)
             x = wt_feats[-1] if self.cfg.whitening else wt_inputs
-            z = self.prior_dist(x, train=False, sample=False)
-            embedding, _ = self._fuse(embedding, z)
-        return self.outc(embedding)
+            z = self.prior_dist(x, train=False, sample=False, packed=packed)
+            embedding, _ = self._fuse(embedding, z, packed)
+        return self.outc(embedding, packed)
 
     def initialize(self, inputs, mask):
         if self.cfg.s2d:

@@ -84,19 +84,32 @@ def make_predict_fn(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
     return predict
 
 
-def make_predict_fn_joint(main_od, main_oc):
+def make_predict_fn_joint(main_od, main_oc, packed: bool = False):
     """Two-stage predict for the joint variant: each net uses its own prior
-    (no student network; validate_joint_shape_reg path, Trainer.py:314-490)."""
+    (no student network; validate_joint_shape_reg path, Trainer.py:314-490).
+    ``packed`` mirrors :func:`make_predict_fn`'s fast-validation option."""
 
     @jax.jit
     def predict(v_od, v_od_shape, v_oc, v_oc_shape, image):
         del v_od_shape, v_oc_shape  # joint nets carry their prior internally
         with jax.default_matmul_precision("highest"):  # parity path, see above
-            out_od = main_od.apply(v_od, image, method=type(main_od).predict)
+            if packed:
+                from wt_pse_tpu.ops.packed import pack, pbroadcast_mul, unpack
+
+                image = pack(image)
+            out_od = main_od.apply(v_od, image, None, packed,
+                                   method=type(main_od).predict)
             od_pred = (jax.nn.sigmoid(out_od) > 0.75).astype(image.dtype)
-            roi = (image + 1.0) * od_pred - 1.0
-            out_oc = main_oc.apply(v_oc, roi, method=type(main_oc).predict)
-            return out_od, out_oc * od_pred
+            if packed:
+                roi = pbroadcast_mul(image + 1.0, od_pred) - 1.0
+            else:
+                roi = (image + 1.0) * od_pred - 1.0
+            out_oc = main_oc.apply(v_oc, roi, None, packed,
+                                   method=type(main_oc).predict)
+            out_oc = out_oc * od_pred
+            if packed:
+                out_od, out_oc = unpack(out_od), unpack(out_oc)
+            return out_od, out_oc
 
     return predict
 

@@ -207,7 +207,9 @@ class Trainer:
         if algorithm == "Unet_nips2023_joint_shape_regularization":
             from wt_pse_tpu.train.eval import make_predict_fn_joint
 
-            self.predict_fn = make_predict_fn_joint(self.main_od, self.main_oc)
+            self.predict_fn = make_predict_fn_joint(
+                self.main_od, self.main_oc,
+                packed=bool(fast_validation and self.cfg.s2d))
         else:
             # fast_validation opts into the packed (space-to-depth) predict
             # when the training mode is packed anyway — exact same math at
