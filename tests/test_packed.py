@@ -262,6 +262,7 @@ def test_train_step_parity_no_sampling(rng):
                 np.testing.assert_allclose(a, b, rtol=2e-3, atol=1.5e-3)
 
 
+@pytest.mark.slow  # two jitted two-stage predicts per level (~2 min)
 @pytest.mark.parametrize("levels", [1, 2])
 def test_packed_two_stage_predict_parity(rng, levels):
     """The packed eval path (make_predict_fn(packed=True) — fast-validation
@@ -299,6 +300,7 @@ def test_packed_two_stage_predict_parity(rng, levels):
                                rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow  # two jitted two-stage predicts (~1 min)
 def test_packed_joint_predict_parity(rng):
     """Joint-variant packed predict matches the unpacked parity path."""
     from wt_pse_tpu.models.joint import JointShapeReg
