@@ -115,6 +115,10 @@ def main(argv=None):
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--save-images", action="store_true",
                    help="write contour overlays (original_image/ + overlay/)")
+    p.add_argument("--packed", action="store_true",
+                   help="space-to-depth predict (~2x; exact same math at "
+                        "reassociation level — default off: the unpacked path "
+                        "is the checkpoint-parity path)")
     p.add_argument("configs", nargs="*")
     args, left = p.parse_known_args(argv)
     from wt_pse_tpu.cli.train import _repair_left_argv  # same argparse trap
@@ -136,9 +140,9 @@ def main(argv=None):
     if joint:
         from wt_pse_tpu.train.eval import make_predict_fn_joint
 
-        predict_fn = make_predict_fn_joint(nets[0], nets[2])
+        predict_fn = make_predict_fn_joint(nets[0], nets[2], packed=args.packed)
     else:
-        predict_fn = make_predict_fn(*nets)
+        predict_fn = make_predict_fn(*nets, packed=args.packed)
 
     domain = load_fundus(args.data_dir, "test", args.datasetTest, state="prediction")
     od_masks, oc_masks = [], []
