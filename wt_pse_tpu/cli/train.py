@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Trainer.py:927-951 parity — every 30 iters under the "
                         "python-loop driver, once per epoch under the scan "
                         "driver) [addition over the reference flag surface]")
+    p.add_argument("--fast-validation", action="store_true",
+                   help="device-resident validation metrics (no host "
+                        "post-processing; with space_to_depth also a packed "
+                        "two-stage predict) [addition over the reference]")
+    p.add_argument("--nan-recovery", action="store_true",
+                   help="roll back to the last finite epoch instead of "
+                        "raising on NaN loss [addition over the reference]")
     p.add_argument("--compile-cache",
                    default=os.path.expanduser("~/.cache/wt_pse_tpu_xla"),
                    help="persistent XLA compile-cache dir (TPU compiles are "
@@ -172,6 +179,8 @@ def main(args=None, left_argv=None):
             tensorboard=args.tensorboard,
             per_step_logging=args.per_step_logging,
             train_visualization=args.train_visualization,
+            fast_validation=args.fast_validation,
+            nan_recovery=args.nan_recovery,
         )
         best = trainer.train()
         for key, value in zip(result.keys(), best):
