@@ -89,6 +89,39 @@ def main():
 
         marginal_ms(make, label)
 
+    # --- two-stage predict (eval path), packed vs unpacked ------------------
+    from wt_pse_tpu.config import default_hparams as dh
+    from wt_pse_tpu.models.common import ModelConfig
+    from wt_pse_tpu.models.shape_prior import ShapeStudent
+    from wt_pse_tpu.models.wt_pse import WTPSE
+    from wt_pse_tpu.train.eval import make_predict_fn
+
+    hp = dict(dh("WT_PSE"), space_to_depth=True, space_to_depth_levels=2)
+    cfg = ModelConfig.from_hparams(hp)
+    nets = (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
+            ShapeStudent(cfg))
+    img = jnp.zeros((B, HW, HW, 3))
+    msk = jnp.zeros((B, HW, HW, 1))
+    k = jax.random.PRNGKey(0)
+    vs = (nets[0].init({"params": k}, img, msk, method=WTPSE.initialize),
+          nets[1].init({"params": k}, img, method=ShapeStudent.initialize),
+          nets[2].init({"params": k}, img, msk, method=WTPSE.initialize),
+          nets[3].init({"params": k}, img, method=ShapeStudent.initialize))
+    for packed in (False, True):
+        pf = make_predict_fn(*nets, packed=packed)
+
+        def make(n, pf=pf):
+            @jax.jit
+            def run():
+                def step(c, _):
+                    od, oc = pf(*vs, c)
+                    return c * 0.999 + (jnp.mean(od) * 1e-3).astype(c.dtype), None
+                out, _ = jax.lax.scan(step, img, None, length=n)
+                return jnp.sum(out)
+            return run
+
+        marginal_ms(make, f"two-stage predict {'packed l2' if packed else 'unpacked'}")
+
 
 if __name__ == "__main__":
     main()
