@@ -20,9 +20,11 @@ Prints ONE JSON line on stdout:
                   dispatch+fetch constant is ~1% of one timed scan.
 
                   Two modes are measured: ``space_to_depth`` first
-                  (ops/packed.py: the 16-channel top level runs 2x2-pixel-packed
-                  at 4x MXU-lane utilization — exact same math via apply-time
-                  kernel folding; ~2x the unpacked rate, so the headline is
+                  (ops/packed.py at the production default
+                  ``space_to_depth_levels=2``: the 256²/16ch and 128²/32ch
+                  levels run 2x2-pixel-packed at 4x MXU-lane utilization —
+                  exact same math via apply-time kernel folding; measured
+                  159 ms/step vs 345 unpacked on v5e, so the headline is
                   banked early), then the unpacked base as the comparison line,
                   skipped when over half the budget is gone. The JSON line
                   reports the better one in ``value`` with the mode in

@@ -70,6 +70,13 @@ def main():
                 ("s2d levels=3", dict(space_to_depth=True,
                                       space_to_depth_levels=3)),
                 ("unpacked base", {})]
+    # CLI filter: `python bench_s2d_levels.py levels=2 predict` runs only the
+    # matching variants — one tunneled compile per process keeps each run far
+    # inside a driver/shell timeout (the full 12-compile sweep does not fit).
+    sel = [a for a in sys.argv[1:]]
+    if sel:
+        variants = [(l, o) for l, o in variants
+                    if any(s in l for s in sel)]
     for label, over in variants:
         hp = default_hparams("WT_PSE")
         hp["compute_dtype"] = "bfloat16"
@@ -89,6 +96,8 @@ def main():
 
         marginal_ms(make, label)
 
+    if sel and not any(s in "predict" for s in sel):
+        return
     # --- two-stage predict (eval path), packed vs unpacked ------------------
     from wt_pse_tpu.config import default_hparams as dh
     from wt_pse_tpu.models.common import ModelConfig

@@ -40,8 +40,11 @@ _COMMON = {
     "space_to_depth": False,
     # how many U-Net levels run packed under space_to_depth: 1 = top level,
     # 2 = also the 128²/32ch level (full 128-lane utilization there),
-    # 3 = also the 64²/64ch level
-    "space_to_depth_levels": 1,
+    # 3 = also the 64²/64ch level. On-chip (v5e, bf16, batch 9, marginal-scan):
+    # unpacked 345 ms/step, levels=1 169 ms, levels=2 159 ms, levels=3 234 ms
+    # (the 256-channel fold + pack/unpack transposes outweigh the lane gain) —
+    # so 2 is the production default (scripts/bench_s2d_levels.py).
+    "space_to_depth_levels": 2,
     # fused Pallas covariance kernel for the whitening loss (validated-correct;
     # XLA's einsum is faster at the shipped 16-channel shape, so default off)
     "use_pallas_whitening": False,

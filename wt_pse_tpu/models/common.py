@@ -37,7 +37,8 @@ class ModelConfig:
     # second level (128²/32ch -> 64²/128ch, full MXU/VPU lane utilization);
     # 3 = also the third (64²/64ch -> 32²/256ch). Same exact-folding machinery
     # at every level; the flag cascade in `unet_run` is regular per level.
-    s2d_levels: int = 1
+    # On-chip: 2 is fastest (hparams.py registry note); 3 regresses.
+    s2d_levels: int = 2
 
     @classmethod
     def from_hparams(cls, hparams: dict, n_channels: int = 3, n_classes: int = 1,
@@ -54,7 +55,7 @@ class ModelConfig:
             bn_axis_name=bn_axis_name,
             compute_dtype=None if dtype in (None, "float32") else str(dtype),
             s2d=bool(hparams.get("space_to_depth", False)),
-            s2d_levels=int(hparams.get("space_to_depth_levels", 1)),
+            s2d_levels=int(hparams.get("space_to_depth_levels", 2)),
         )
 
 
