@@ -125,7 +125,9 @@ def test_normalize_single_label_encoding():
     img = np.full((2, 2, 3), 127.5, np.float32)
     im_od, od = X.normalize_single_label(jnp.asarray(img), jnp.asarray(m), "OD")
     _, oc = X.normalize_single_label(jnp.asarray(img), jnp.asarray(m), "OC")
-    np.testing.assert_allclose(np.asarray(im_od), 0.0)
+    # 1-ulp tolerance: XLA may canonicalize x/127.5 - 1 into fma(x, 1/127.5, -1),
+    # whose rounding differs from true division by 2^-24 at x=127.5.
+    np.testing.assert_allclose(np.asarray(im_od), 0.0, atol=1.3e-7)
     # OD = disc ∪ cup (everything below 255 after re-threshold)
     np.testing.assert_array_equal(np.asarray(od)[..., 0], [[0, 1], [1, 0]])
     # OC = cup only

@@ -1,20 +1,23 @@
 """Pallas fused covariance kernel vs the jnp reference path (interpret mode on
-CPU; the same code compiles on TPU)."""
+CPU; the same code compiles on TPU).
+
+NB: ``pltpu.force_tpu_interpret_mode()`` (jax 0.9's faithful TPU simulator)
+deadlocks on this CPU stack even for trivial kernels, so these tests force the
+generic ``pallas_call(interpret=True)`` path via the module flag instead."""
 
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.pallas import tpu as pltpu
 
+from wt_pse_tpu.ops import whitening_pallas
 from wt_pse_tpu.ops.whitening import feature_covariance
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode():
-    with pltpu.force_tpu_interpret_mode():
-        yield
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(whitening_pallas, "INTERPRET", True)
 
 
 def test_pallas_covariance_matches_jnp(rng):

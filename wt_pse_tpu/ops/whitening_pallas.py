@@ -29,6 +29,18 @@ TILE_K = 2048  # rows (H*W) per block. NB: the C=16 lane dim pads to 128 in
 # VMEM, so a block costs TILE_K*128*4 B = 1 MB; 2048 keeps in+out double
 # buffering inside the 16 MB scoped-vmem budget.
 
+# None = auto: interpret off TPU (CPU tests), compiled on TPU. Tests may set
+# True explicitly. jax 0.9's pltpu.force_tpu_interpret_mode() deadlocks on this
+# CPU stack even for trivial kernels, so the generic interpreter is the CPU
+# validation path instead.
+INTERPRET: bool | None = None
+
+
+def _interpret() -> bool:
+    if INTERPRET is not None:
+        return INTERPRET
+    return jax.default_backend() != "tpu"
+
 
 def _gram_kernel(z_ref, out_ref, acc_ref):
     """Accumulate z_tile^T @ z_tile over the K grid dimension.
@@ -73,6 +85,7 @@ def _gram(z_bkc: jax.Array) -> jax.Array:
         cost_estimate=pl.CostEstimate(
             flops=2 * b * c * c * hw, bytes_accessed=b * c * hw * 4,
             transcendentals=0),
+        interpret=_interpret(),
     )(z_bkc)
 
 
@@ -102,6 +115,7 @@ def _dz(s_sym: jax.Array, z_bkc: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((1, TILE_K, c), lambda i, k: (i, k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, (hw + pad), c), jnp.float32),
+        interpret=_interpret(),
     )(s_sym, z_bkc)
     return out[:, :hw, :]
 
