@@ -64,7 +64,7 @@ def main():
     from wt_pse_tpu.models.shape_prior import ShapeStudent
     from wt_pse_tpu.models.wt_pse import WTPSE
 
-    for dtype_name in ("bfloat16", None):
+    for dtype_name in () if sys.argv[1:] else ("bfloat16", None):
         hp = default_hparams("WT_PSE")
         if dtype_name:
             hp["compute_dtype"] = dtype_name
@@ -117,7 +117,23 @@ def main():
         ("seg-only bf16 (no shape/whiten)", {"compute_dtype": "bfloat16",
                                              "whitening": False,
                                              "shape_prior": False}),
+        # space-to-depth (production default levels=2) ablations: the phase
+        # cost structure under the packed layout, by difference
+        ("full step bf16 s2d2", {"compute_dtype": "bfloat16",
+                                 "space_to_depth": True}),
+        ("no whitening bf16 s2d2", {"compute_dtype": "bfloat16",
+                                    "space_to_depth": True,
+                                    "whitening": False, "shape_prior": True}),
+        ("seg-only bf16 s2d2", {"compute_dtype": "bfloat16",
+                                "space_to_depth": True,
+                                "whitening": False, "shape_prior": False}),
     ]
+    # CLI filter: `python bench_step_breakdown.py s2d2` runs only matching
+    # variants (and skips the U-Net micro section) — one tunneled compile per
+    # process keeps a run inside a shell timeout.
+    sel = sys.argv[1:]
+    if sel:
+        variants = [(l, o) for l, o in variants if any(s in l for s in sel)]
     for label, over in variants:
         hp = default_hparams("WT_PSE")
         hp.update(over)
@@ -131,7 +147,9 @@ def main():
                 st, m = tr.epoch_step(
                     jax.tree.map(jnp.copy, tr.state), tr.data,
                     jax.random.PRNGKey(0), 0, n)
-                return m["loss_seg"]
+                # per-step metric stack (shape (n,)) since the round-3
+                # per-iteration observability change; fetch the last step
+                return jnp.asarray(m["loss_seg"])[-1]
             return run
 
         marginal_ms(make, label)
