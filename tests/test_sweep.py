@@ -25,3 +25,60 @@ def test_run_sweep_round_robin_assignment():
     devices = jax.devices()
     assert len({id(d) for d in seen.values()}) == min(8, len(devices))
     assert results[SweepJob(1, "OD")] == "1-OD"
+
+
+def test_sweep_cli_job_args(tmp_path):
+    from wt_pse_tpu.cli import sweep as sweep_cli
+
+    args, left = sweep_cli.build_parser().parse_known_args(
+        ["--data-dir", "/d", "--targets", "3", "--labels", "OD", "OC",
+         "--running_times", "1"])
+    assert left == []
+    job = SweepJob(3, "OC")
+    ns = sweep_cli.job_args(args, job, str(tmp_path))
+    assert ns.datasetTrain == [1, 2, 4]
+    assert ns.datasetTest == [3]
+    assert ns.label == "OC"
+    assert ns.out.endswith("target3_OC")
+    # the original namespace is untouched (each job gets its own copy)
+    assert args.label != "OC" or args.datasetTest != [3]
+
+
+def test_sweep_cli_end_to_end_stubbed(tmp_path, monkeypatch):
+    """Fan-out/aggregation contract with the per-job training stubbed out."""
+    import json
+    import os
+
+    from wt_pse_tpu.cli import sweep as sweep_cli
+
+    calls = []
+
+    def fake_train_main(args=None, left_argv=None):
+        calls.append((tuple(args.datasetTrain), tuple(args.datasetTest),
+                      args.label, args.out, tuple(left_argv)))
+        d = 0.9 if args.label == "OD" else 0.8
+        return {"DSC_OC": [d - 0.1], "HD_OC": [10.0], "ASD_OC": [2.0],
+                "DSC_OD": [d], "HD_OD": [8.0], "ASD_OD": [1.0]}
+
+    monkeypatch.setattr(sweep_cli.train_cli, "main", fake_train_main)
+    out = str(tmp_path / "sweep")
+    args, left = sweep_cli.build_parser().parse_known_args(
+        ["--data-dir", "/d", "--out", out, "--compute_dtype=bfloat16"])
+    results = sweep_cli.main(args, left)
+
+    assert len(calls) == 8  # 4 targets x {OD, OC}
+    trains = {c[0] for c in calls}
+    assert (1, 2, 4) in trains and (2, 3, 4) in trains
+    for tr, te, _label, _out, la in calls:
+        assert te[0] not in tr and len(tr) == 3
+        assert la == ("--compute_dtype=bfloat16",)  # hparam passthrough
+    # non-`=` form: argparse's configs positional steals the value; each job's
+    # namespace keeps it so train.main's _repair_left_argv re-pairs per job
+    args2, left2 = sweep_cli.build_parser().parse_known_args(
+        ["--data-dir", "/d", "--compute_dtype", "bfloat16"])
+    ns = sweep_cli.job_args(args2, SweepJob(2, "OD"), out)
+    assert ns.configs == ["bfloat16"] and left2 == ["--compute_dtype"]
+    summary = json.load(open(os.path.join(out, "sweep_results.json")))
+    assert len(summary) == 8
+    assert summary["target1_OD"]["DSC_OD"] == [0.9]
+    assert len(results) == 8
