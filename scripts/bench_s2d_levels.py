@@ -64,7 +64,8 @@ def main():
         names=["a", "b"])
     doms = [dom(12), dom(12), dom(12)]
 
-    variants = [("s2d levels=1", dict(space_to_depth=True)),
+    variants = [("s2d levels=1", dict(space_to_depth=True,
+                                      space_to_depth_levels=1)),
                 ("s2d levels=2", dict(space_to_depth=True,
                                       space_to_depth_levels=2)),
                 ("s2d levels=3", dict(space_to_depth=True,
@@ -124,7 +125,10 @@ def main():
             def run():
                 def step(c, _):
                     od, oc = pf(*vs, c)
-                    return c * 0.999 + (jnp.mean(od) * 1e-3).astype(c.dtype), None
+                    # consume BOTH stages: an unused oc lets XLA dead-code-
+                    # eliminate the whole OC chain and time only stage 1
+                    dep = jnp.mean(od) + jnp.mean(oc)
+                    return c * 0.999 + (dep * 1e-3).astype(c.dtype), None
                 out, _ = jax.lax.scan(step, img, None, length=n)
                 return jnp.sum(out)
             return run

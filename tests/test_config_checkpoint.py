@@ -82,10 +82,11 @@ def test_repair_left_argv(tmp_path):
     left, configs = _repair_left_argv(["--a=1"], [str(yml)])
     assert left == ["--a=1"] and configs == [str(yml)]
     # ambiguous: 2 dangling flags, 1 stolen value (a boolean flag would steal
-    # the value) -> refuse to pair, leave leftovers untouched
-    left, configs = _repair_left_argv(["--some-flag", "--compute_dtype"],
-                                      ["bfloat16"])
-    assert left == ["--some-flag", "--compute_dtype"] and configs == []
+    # the value) -> hard error: continuing would drop the value AND turn the
+    # surviving value-less --key into boolean true, inverting the user's
+    # explicit setting for the whole run
+    with pytest.raises(SystemExit, match="ambiguous"):
+        _repair_left_argv(["--some-flag", "--compute_dtype"], ["bfloat16"])
 
 
 @pytest.mark.slow  # full-ensemble init + orbax save/restore (~45s); scripts/test.sh --slow

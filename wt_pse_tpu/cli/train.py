@@ -109,12 +109,15 @@ def _repair_left_argv(left_argv: list[str], configs: list[str]):
     if orphans and len(dangling) != len(orphans):
         # ambiguous: a value-less boolean flag among the dangling keys would
         # silently steal a value (e.g. `--some-flag --compute_dtype bfloat16`
-        # repairing to some_flag='bfloat16'). Refuse rather than guess.
-        print(f"WARNING: ignoring unrecognized positional args {orphans}: "
-              f"{len(dangling)} dangling flag(s) "
-              f"{[left_argv[j] for j in dangling]} but {len(orphans)} stolen "
-              "value(s) — the pairing is ambiguous; use --key=value form")
-        orphans = []
+        # repairing to some_flag='bfloat16'). Refuse hard rather than guess —
+        # continuing would both drop the stolen value AND let the now-valueless
+        # `--key` parse as boolean true, silently inverting an explicit
+        # `--key false` for the whole run.
+        raise SystemExit(
+            f"ambiguous hparam arguments: {len(orphans)} positional value(s) "
+            f"{orphans} vs {len(dangling)} value-less flag(s) "
+            f"{[left_argv[j] for j in dangling]} — cannot re-pair safely; "
+            "use --key=value form for hparam overrides")
     out, oi = [], 0
     for j, tok in enumerate(left_argv):
         out.append(tok)
