@@ -82,3 +82,38 @@ def test_sweep_cli_end_to_end_stubbed(tmp_path, monkeypatch):
     assert len(summary) == 8
     assert summary["target1_OD"]["DSC_OD"] == [0.9]
     assert len(results) == 8
+
+
+def test_run_sweep_concurrent():
+    """concurrency>1 runs jobs in worker threads: all complete, exceptions are
+    captured per-job, and wall-clock shows actual overlap."""
+    import time
+
+    import jax.numpy as jnp
+
+    def job_fn(job, device):
+        if job.target_domain == 2 and job.label == "OC":
+            raise RuntimeError("boom")
+        time.sleep(0.2)
+        # a real dispatch on the assigned device, from the worker thread
+        with jax.default_device(device):
+            return float(jnp.sum(jnp.ones(3)) * job.target_domain)
+
+    # warm the per-device executables: first-touch compiles serialize on the
+    # compilation lock and would dominate the timed window
+    for d in jax.devices():
+        with jax.default_device(d):
+            float(jnp.sum(jnp.ones(3)))
+
+    t0 = time.time()
+    results = run_sweep(job_fn, concurrency=4)
+    wall = time.time() - t0
+    assert len(results) == 8
+    assert isinstance(results[SweepJob(2, "OC")], RuntimeError)
+    ok = {j: r for j, r in results.items() if not isinstance(r, Exception)}
+    assert ok[SweepJob(3, "OD")] == 9.0
+    # 7 sleeping jobs at concurrency 4 (8 virtual devices) -> 2 waves ~0.4s;
+    # sequential would be >=1.4s. Generous bound for CI jitter.
+    assert wall < 1.2, f"no overlap: {wall:.2f}s"
+    # concurrency caps at len(devices); a huge value must not crash
+    assert len(run_sweep(job_fn, concurrency=999)) == 8

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target (held-out) domain ids to sweep")
     p.add_argument("--labels", nargs="+", type=str, default=["OD", "OC"],
                    choices=["OD", "OC"], help="structure labels to sweep")
+    p.add_argument("--parallel-jobs", type=int, default=1,
+                   help="run this many sweep jobs concurrently (worker threads,"
+                        " capped at the device count) — replicas are"
+                        " independent, so jobs on distinct devices overlap")
     return p
 
 
@@ -64,7 +68,11 @@ def main(args=None, left_argv=None):
         with jax.default_device(device):
             return train_cli.main(job_args(args, job, out_root), left_argv)
 
-    results = run_sweep(job_fn, jobs)
+    results = run_sweep(job_fn, jobs, concurrency=args.parallel_jobs)
+    failed = {j: r for j, r in results.items() if isinstance(r, Exception)}
+    for job, err in failed.items():
+        print(f"FAILED: target {job.target_domain} {job.label}: {err!r}")
+    results = {j: r for j, r in results.items() if not isinstance(r, Exception)}
 
     summary = {}
     for job, res in results.items():

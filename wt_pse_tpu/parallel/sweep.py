@@ -31,16 +31,38 @@ def leave_one_out_jobs(labels=("OD", "OC")) -> list[SweepJob]:
     return [SweepJob(t, l) for t, l in itertools.product((1, 2, 3, 4), labels)]
 
 
-def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None):
+def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None,
+              concurrency: int = 1):
     """Run ``job_fn(job, device)`` for each sweep job, assigning devices
     round-robin. ``job_fn`` should wrap its computation in
-    ``with jax.default_device(device):``. Returns {job: result}."""
+    ``with jax.default_device(device):``. Returns {job: result}.
+
+    ``concurrency > 1`` runs that many jobs at once in worker threads (capped
+    at ``len(devices)`` — more workers than devices would contend on a chip
+    for no gain). Replicas are independent trainings (no collectives), so the
+    device-level parallelism is exactly thread-level here: each thread's
+    dispatches target its own device, and XLA executions on distinct devices
+    overlap while the GIL is released. A job that raises is recorded as the
+    exception instance (other jobs keep running) — callers decide whether to
+    re-raise; the sequential path keeps fail-fast semantics."""
     import jax
 
     jobs = jobs if jobs is not None else leave_one_out_jobs()
     devices = devices if devices is not None else jax.devices()
-    results = {}
-    for i, job in enumerate(jobs):
-        dev = devices[i % len(devices)]
-        results[job] = job_fn(job, dev)
-    return results
+    assignment = [(job, devices[i % len(devices)]) for i, job in enumerate(jobs)]
+
+    concurrency = max(1, min(concurrency, len(devices)))
+    if concurrency == 1:
+        return {job: job_fn(job, dev) for job, dev in assignment}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def safe(job, dev):
+        try:
+            return job_fn(job, dev)
+        except Exception as e:  # noqa: BLE001 — surfaced in the result dict
+            return e
+
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        futures = {job: pool.submit(safe, job, dev) for job, dev in assignment}
+    return {job: f.result() for job, f in futures.items()}
