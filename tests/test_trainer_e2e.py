@@ -140,9 +140,9 @@ def test_scan_epoch_matches_python_loop(fundus_root, tmp_path):
 
 def test_per_step_logging_and_train_viz(fundus_root, tmp_path):
     """Round-3 observability (VERDICT #5): per-iteration scalars under the scan
-    driver (kind=step records in metrics.jsonl), train image grids
-    (Trainer.py:927-951 parity), and log.csv valid/* columns filled on
-    validation epochs."""
+    driver (kind=step records in metrics.jsonl), train image grids every
+    train_viz_interval steps via chunked epoch scans (Trainer.py:927-951
+    parity), and log.csv valid/* columns filled on validation epochs."""
     from wt_pse_tpu.train.trainer import Trainer
 
     out = str(tmp_path / "runobs")
@@ -155,8 +155,9 @@ def test_per_step_logging_and_train_viz(fundus_root, tmp_path):
         out_dir=out, label="OD", batch_size=3, max_epoch=4,
         interval_validate=4, seed=3, image_size=SIZE,
         val_visualization=False, per_step_logging=True,
-        train_visualization=True,
+        train_visualization=True, train_viz_interval=2,
     )
+    assert trainer.iter_per_epoch == 4  # -> two 2-step scan chunks per epoch
     trainer.train()
 
     lines = [json.loads(l) for l in
@@ -173,6 +174,11 @@ def test_per_step_logging_and_train_viz(fundus_root, tmp_path):
     for tag in ("train_image", "train_shape_cup", "train_target_cup",
                 "train_pre_cup"):
         assert any(i.startswith(tag) for i in imgs), (tag, imgs)
+    # chunked scan: one grid per interval, logged at chunk ends — 4 epochs x
+    # (4 iters / interval 2) = 8 grids, all at even global steps
+    grid_steps = sorted(int(i[len("train_image_"):-4]) for i in imgs
+                        if i.startswith("train_image_"))
+    assert grid_steps == [2, 4, 6, 8, 10, 12, 14, 16], grid_steps
 
     rows = open(os.path.join(out, "log.csv")).read().strip().split("\n")
     header = rows[0].split(",")

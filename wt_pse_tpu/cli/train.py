@@ -65,9 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "[addition over the reference flag surface]")
     p.add_argument("--train-visualization", action="store_true",
                    help="save train image grids (ROI/attention/target/pred; "
-                        "Trainer.py:927-951 parity — every 30 iters under the "
-                        "python-loop driver, once per epoch under the scan "
-                        "driver) [addition over the reference flag surface]")
+                        "Trainer.py:927-951 parity — every "
+                        "--train-viz-interval iterations under both drivers) "
+                        "[addition over the reference flag surface]")
+    p.add_argument("--train-viz-interval", type=int, default=30,
+                   help="iterations between train image grids (reference "
+                        "hardcodes 30, Trainer.py:929)")
     p.add_argument("--fast-validation", action="store_true",
                    help="device-resident validation metrics (no host "
                         "post-processing; with space_to_depth also a packed "
@@ -182,6 +185,7 @@ def main(args=None, left_argv=None):
             tensorboard=args.tensorboard,
             per_step_logging=args.per_step_logging,
             train_visualization=args.train_visualization,
+            train_viz_interval=args.train_viz_interval,
             fast_validation=args.fast_validation,
             nan_recovery=args.nan_recovery,
         )

@@ -307,9 +307,11 @@ class Trainer:
         iterations): ``train/image`` (the OC-stage ROI input), ``train/shape_cup``
         (attention mask, whitening runs), ``train/target_cup``, ``train/pre_cup``
         (sigmoid(out_oc) > 0.75) — sample 0 of a batch drawn from the train PRNG
-        stream. Python-loop driver: logged every ``train_viz_interval`` steps;
-        scan driver: once per epoch (per-interval grids would need host dispatch
-        inside the device program — documented deviation)."""
+        stream. Both drivers log every ``train_viz_interval`` steps: the
+        python loop at interval starts (batch_idx % 30 == 0, like the
+        reference), the scan driver between interval-length scan chunks (i.e.
+        at interval *ends*, with the weights after the chunk — one step's
+        offset, documented deviation)."""
         from wt_pse_tpu.utils.visualization import untransform
 
         key = jax.random.fold_in(self.run_key, iteration)
@@ -375,22 +377,39 @@ class Trainer:
                 # means AND the optional per-iteration log (per-scalar fetches
                 # cost one link RTT each, ~seconds/epoch over a tunneled
                 # device).
-                self.state, ms = self.epoch_step(
-                    self.state, self.data, self.run_key,
-                    epoch * self.iter_per_epoch, self.iter_per_epoch)
-                names = sorted(ms)
-                per_step = np.asarray(jnp.stack([ms[k] for k in names]))
+                base = epoch * self.iter_per_epoch
+                if self.train_visualization:
+                    # chunked epoch: the scan is split at every
+                    # train_viz_interval so the grid montage (Trainer.py:927-951,
+                    # every 30 iterations) runs between chunks with the live
+                    # weights — at most two compiled scan lengths (interval +
+                    # remainder) instead of per-step dispatch.
+                    chunk_ms, done = [], 0
+                    while done < self.iter_per_epoch:
+                        n = min(self.train_viz_interval,
+                                self.iter_per_epoch - done)
+                        self.state, ms = self.epoch_step(
+                            self.state, self.data, self.run_key, base + done, n)
+                        chunk_ms.append(ms)
+                        done += n
+                        self._save_train_montage(base + done)
+                    names = sorted(chunk_ms[0])
+                    per_step = np.concatenate(
+                        [np.asarray(jnp.stack([ms[k] for k in names]))
+                         for ms in chunk_ms], axis=1)
+                else:
+                    self.state, ms = self.epoch_step(
+                        self.state, self.data, self.run_key, base,
+                        self.iter_per_epoch)
+                    names = sorted(ms)
+                    per_step = np.asarray(jnp.stack([ms[k] for k in names]))
                 if self.per_step_logging:
-                    base = epoch * self.iter_per_epoch
                     for it in range(per_step.shape[1]):
                         self.logger.step_scalars(
                             base + it,
                             {k: per_step[j, it] for j, k in enumerate(names)})
                 metrics = {k: float(per_step[j].mean())
                            for j, k in enumerate(names)}
-                if self.train_visualization:
-                    # scan driver: one grid per epoch (see _save_train_montage)
-                    self._save_train_montage((epoch + 1) * self.iter_per_epoch)
             else:
                 metrics = {}
                 for it in range(self.iter_per_epoch):
