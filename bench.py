@@ -227,6 +227,7 @@ def jax_train_ips() -> float:
     t0 = time.time()
     float(np.asarray(jax.numpy.zeros(()) + 1))
     log(f"TPU claim acquired in {time.time() - t0:.1f}s")
+    progress["note"] = "building trainer"
 
     from wt_pse_tpu.config import default_hparams
     from wt_pse_tpu.data.fundus import FundusDomain
