@@ -113,8 +113,12 @@ def watchdog(budget_s: float) -> None:
             left = budget_s - (time.time() - T0)
             if left <= 0:
                 log(f"watchdog fired (budget {budget_s}s, state: {progress['note']})")
-                ok = emit(progress["note"])
-                os._exit(0 if ok and progress["ips"] is not None else 1)
+                printed_now = emit(progress["note"])
+                # emit() returning False means main() already printed a
+                # complete record and we are overrunning in interpreter
+                # shutdown — that run succeeded; don't turn it into rc=1
+                ok = (not printed_now) or progress["ips"] is not None
+                os._exit(0 if ok else 1)
             time.sleep(min(max(left, 0.1), 5.0))
 
     threading.Thread(target=run, daemon=True).start()
@@ -284,9 +288,11 @@ def jax_train_ips() -> float:
             best = dt if best is None else min(best, dt)
             log(f"[{mode}] rep {rep}: {dt:.2f}s for {SCAN_N} steps -> "
                 f"{B / (dt / SCAN_N):.2f} img/s")
-        ips = B / (best / SCAN_N)
-        if progress["ips"] is None or ips > progress["ips"]:
-            progress["ips"], progress["mode"] = ips, mode
+            # bank after EVERY rep: if the watchdog fires during rep 2, the
+            # rep-1 rate must already be in the record (not value:null)
+            ips = B / (best / SCAN_N)
+            if progress["ips"] is None or ips > progress["ips"]:
+                progress["ips"], progress["mode"] = ips, mode
         return ips
 
     # headline mode first (space_to_depth is the recommended production mode —
@@ -321,6 +327,8 @@ def main():
         log(f"measurement aborted: {type(e).__name__}: {e}")
         progress["note"] = f"{type(e).__name__}: {e}"
     emit(progress["note"])
+    if progress["ips"] is None:
+        sys.exit(1)  # record printed, but it is an explicit failure
     # fall through to a CLEAN interpreter exit — see watchdog() docstring
 
 

@@ -18,9 +18,9 @@ Compares, in the production mode (bf16 + space_to_depth levels=2, batch 9):
 and the same pair for the shape-distillation phase.
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,32 +34,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
+import bench_common
+from bench_common import scan_of  # noqa: F401
+
 B, HW = 9, 256
 N = 10
 
-
-def marginal_ms(make_scan, label):
-    fns = {n: make_scan(n) for n in (N, 3 * N)}
-    for n, f in fns.items():
-        float(np.asarray(f()))
-    times = {}
-    for n, f in fns.items():
-        t0 = time.time()
-        float(np.asarray(f()))
-        times[n] = time.time() - t0
-    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
-    print(f"{label:42s} {ms:9.2f} ms/iter   (T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)")
-    return ms
-
-
-def scan_of(body, x0, n):
-    @jax.jit
-    def run():
-        def step(c, _):
-            return body(c), None
-        out, _ = jax.lax.scan(step, x0, None, length=n)
-        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(out))
-    return run
+marginal_ms = functools.partial(bench_common.marginal_ms, n=N, width=42)
 
 
 def tree_sum(t):

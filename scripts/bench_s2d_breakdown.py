@@ -11,9 +11,9 @@ guesswork:
   seg fwd packed/unpck -> one WTPSE train forward, packed vs unpacked
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,23 +27,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
+import bench_common
+
 B, HW = 9, 256
 N = 10
 
-
-def marginal_ms(make_scan, label):
-    fns = {n: make_scan(n) for n in (N, 3 * N)}
-    for n, f in fns.items():
-        float(np.asarray(f()))
-    times = {}
-    for n, f in fns.items():
-        t0 = time.time()
-        float(np.asarray(f()))
-        times[n] = time.time() - t0
-    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
-    print(f"{label:38s} {ms:9.2f} ms/iter   "
-          f"(T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)", flush=True)
-    return ms
+marginal_ms = functools.partial(bench_common.marginal_ms, n=N)
 
 
 def main():

@@ -9,9 +9,9 @@ Marginal-scan methodology (bench_step_breakdown.py): N vs 3N epoch scans,
 forced value fetch, dispatch constants cancel.
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,22 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
+import bench_common
+
 B, HW, N = 9, 256, 10
 
-
-def marginal_ms(make_scan, label):
-    fns = {n: make_scan(n) for n in (N, 3 * N)}
-    for f in fns.values():
-        float(np.asarray(f()))
-    times = {}
-    for n, f in fns.items():
-        t0 = time.time()
-        float(np.asarray(f()))
-        times[n] = time.time() - t0
-    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
-    print(f"{label:34s} {ms:9.2f} ms/step  {B / ms * 1e3:7.2f} img/s   "
-          f"(T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)", flush=True)
-    return ms
+marginal_ms = functools.partial(bench_common.marginal_ms, n=N, width=34,
+                                img_per_step=B)
 
 
 def main():
@@ -97,7 +87,9 @@ def main():
 
         marginal_ms(make, label)
 
-    if sel and not any(s in "predict" for s in sel):
+    # run the predict section iff no filter, or a selector matches its
+    # section name (same substring semantics as the variant filter above)
+    if sel and not any(s in "two-stage predict" for s in sel):
         return
     # --- two-stage predict (eval path), packed vs unpacked ------------------
     from wt_pse_tpu.config import default_hparams as dh

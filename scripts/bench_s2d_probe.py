@@ -10,9 +10,9 @@ Times, bf16, batch 9, marginal-scan methodology (see bench_step_breakdown.py):
   4. U-Net bf16 forward at 256² vs 128² input (isolates the whole top level)
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,34 +26,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
+import bench_common
+from bench_common import scan_of  # noqa: F401 — re-exported to sibling scripts
+
 B = 9
 N = 20
 DT = jnp.bfloat16
 
-
-def marginal_ms(make_scan, label):
-    fns = {n: make_scan(n) for n in (N, 3 * N)}
-    for n, f in fns.items():
-        float(np.asarray(f()))
-    times = {}
-    for n, f in fns.items():
-        t0 = time.time()
-        float(np.asarray(f()))
-        times[n] = time.time() - t0
-    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
-    print(f"{label:44s} {ms:8.3f} ms/iter  (T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)",
-          flush=True)
-    return ms
-
-
-def scan_of(body, x0, n):
-    @jax.jit
-    def run():
-        def step(c, _):
-            return body(c), None
-        out, _ = jax.lax.scan(step, x0, None, length=n)
-        return jax.tree.map(lambda a: jnp.sum(a.astype(jnp.float32)), out)
-    return run
+marginal_ms = functools.partial(bench_common.marginal_ms, n=N, width=44)
 
 
 def conv(x, k):

@@ -9,9 +9,9 @@ device time per iteration.
 Run on the real chip: ``python scripts/bench_step_breakdown.py``.
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,35 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
+import bench_common
+from bench_common import scan_of  # noqa: F401
+
 B, HW = 9, 256
 N = 10
 
-
-def marginal_ms(make_scan, label):
-    """make_scan(n) -> zero-arg fn returning a scalar that depends on n chained
-    iterations. Times n=N and n=3N with a forced fetch; prints marginal ms."""
-    fns = {n: make_scan(n) for n in (N, 3 * N)}
-    for n, f in fns.items():  # compile + warm
-        float(np.asarray(f()))
-    times = {}
-    for n, f in fns.items():
-        t0 = time.time()
-        float(np.asarray(f()))
-        times[n] = time.time() - t0
-    ms = (times[3 * N] - times[N]) / (2 * N) * 1e3
-    print(f"{label:34s} {ms:9.2f} ms/iter   (T{N}={times[N]:.2f}s T{3*N}={times[3*N]:.2f}s)")
-    return ms
-
-
-def scan_of(body, x0, n):
-    @jax.jit
-    def run():
-        def step(c, _):
-            return body(c), None
-        out, _ = jax.lax.scan(step, x0, None, length=n)
-        return jax.tree.map(lambda a: jnp.sum(a.astype(jnp.float32)), out) \
-            if not hasattr(out, "ndim") else jnp.sum(out.astype(jnp.float32))
-    return run
+marginal_ms = functools.partial(bench_common.marginal_ms, n=N, width=34)
 
 
 def main():

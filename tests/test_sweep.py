@@ -85,35 +85,48 @@ def test_sweep_cli_end_to_end_stubbed(tmp_path, monkeypatch):
 
 
 def test_run_sweep_concurrent():
-    """concurrency>1 runs jobs in worker threads: all complete, exceptions are
-    captured per-job, and wall-clock shows actual overlap."""
+    """concurrency>1 runs device queues in worker threads: all jobs complete,
+    exceptions are captured per-job, genuinely concurrent execution happens,
+    and two jobs assigned to the SAME device never overlap."""
+    import threading
     import time
 
     import jax.numpy as jnp
 
+    lock = threading.Lock()
+    active, active_per_dev = 0, {}
+    max_active, max_per_dev = 0, 0
+
     def job_fn(job, device):
-        if job.target_domain == 2 and job.label == "OC":
-            raise RuntimeError("boom")
-        time.sleep(0.2)
-        # a real dispatch on the assigned device, from the worker thread
-        with jax.default_device(device):
-            return float(jnp.sum(jnp.ones(3)) * job.target_domain)
+        nonlocal active, max_active, max_per_dev
+        with lock:
+            active += 1
+            active_per_dev[device] = active_per_dev.get(device, 0) + 1
+            max_active = max(max_active, active)
+            max_per_dev = max(max_per_dev, active_per_dev[device])
+        try:
+            if job.target_domain == 2 and job.label == "OC":
+                raise RuntimeError("boom")
+            time.sleep(0.05)
+            # a real dispatch on the assigned device, from the worker thread
+            with jax.default_device(device):
+                return float(jnp.sum(jnp.ones(3)) * job.target_domain)
+        finally:
+            with lock:
+                active -= 1
+                active_per_dev[device] -= 1
 
-    # warm the per-device executables: first-touch compiles serialize on the
-    # compilation lock and would dominate the timed window
-    for d in jax.devices():
-        with jax.default_device(d):
-            float(jnp.sum(jnp.ones(3)))
-
-    t0 = time.time()
-    results = run_sweep(job_fn, concurrency=4)
-    wall = time.time() - t0
+    # 8 jobs round-robin onto 2 devices (4 per queue), 2 workers: overlap
+    # must happen across devices and must NOT happen within one device
+    devices = jax.devices()[:2]
+    results = run_sweep(job_fn, devices=devices, concurrency=2)
     assert len(results) == 8
     assert isinstance(results[SweepJob(2, "OC")], RuntimeError)
     ok = {j: r for j, r in results.items() if not isinstance(r, Exception)}
     assert ok[SweepJob(3, "OD")] == 9.0
-    # 7 sleeping jobs at concurrency 4 (8 virtual devices) -> 2 waves ~0.4s;
-    # sequential would be >=1.4s. Generous bound for CI jitter.
-    assert wall < 1.2, f"no overlap: {wall:.2f}s"
+    assert max_active == 2, f"no cross-device overlap observed: {max_active}"
+    assert max_per_dev == 1, "two jobs overlapped on one device"
     # concurrency caps at len(devices); a huge value must not crash
+    max_active = max_per_dev = 0
     assert len(run_sweep(job_fn, concurrency=999)) == 8
+    assert max_per_dev == 1

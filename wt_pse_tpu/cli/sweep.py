@@ -89,7 +89,12 @@ def main(args=None, left_argv=None):
         vals = res[dice_key]
         print(f"target {job.target_domain} {job.label}: "
               f"{dice_key}={np.mean(vals):.4f}"
-              + (f"+_{np.std(vals, ddof=1):.4f}" if len(vals) > 1 else ""))
+              + (f"+-{np.std(vals, ddof=1):.4f}" if len(vals) > 1 else ""))
+    if failed:
+        # a CI/driver gating on the exit code must not record a sweep with
+        # dropped jobs as success; survivors' artifacts are already on disk
+        raise SystemExit(
+            f"{len(failed)}/{len(failed) + len(results)} sweep jobs failed")
     return results
 
 

@@ -37,13 +37,17 @@ def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None,
     round-robin. ``job_fn`` should wrap its computation in
     ``with jax.default_device(device):``. Returns {job: result}.
 
-    ``concurrency > 1`` runs that many jobs at once in worker threads (capped
-    at ``len(devices)`` — more workers than devices would contend on a chip
-    for no gain). Replicas are independent trainings (no collectives), so the
-    device-level parallelism is exactly thread-level here: each thread's
-    dispatches target its own device, and XLA executions on distinct devices
-    overlap while the GIL is released. A job that raises is recorded as the
-    exception instance (other jobs keep running) — callers decide whether to
+    ``concurrency > 1`` runs up to that many *device queues* at once in worker
+    threads (capped at ``len(devices)``). Jobs are grouped by their assigned
+    device and each device's jobs run sequentially within one thread — two
+    trainings never share a chip regardless of completion order (a plain
+    worker pool over jobs would let a freed worker start device 0's second
+    job while its first is still training). Replicas are independent
+    trainings (no collectives), so the device-level parallelism is exactly
+    thread-level here: each thread's dispatches target its own device, and
+    XLA executions on distinct devices overlap while the GIL is released.
+    A job that raises is recorded as the exception instance (later jobs on
+    that device and other queues keep running) — callers decide whether to
     re-raise; the sequential path keeps fail-fast semantics."""
     import jax
 
@@ -57,12 +61,22 @@ def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def safe(job, dev):
-        try:
-            return job_fn(job, dev)
-        except Exception as e:  # noqa: BLE001 — surfaced in the result dict
-            return e
+    per_device: dict = {}
+    for job, dev in assignment:
+        per_device.setdefault(dev, []).append(job)
+
+    results: dict = {}
+
+    def drain(dev, dev_jobs):
+        for job in dev_jobs:
+            try:
+                results[job] = job_fn(job, dev)
+            except Exception as e:  # noqa: BLE001 — surfaced in the result dict
+                results[job] = e
 
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
-        futures = {job: pool.submit(safe, job, dev) for job, dev in assignment}
-    return {job: f.result() for job, f in futures.items()}
+        futures = [pool.submit(drain, dev, dev_jobs)
+                   for dev, dev_jobs in per_device.items()]
+    for f in futures:
+        f.result()  # drain() swallows job errors; surface scheduler bugs
+    return {job: results[job] for job, _ in assignment}

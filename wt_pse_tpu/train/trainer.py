@@ -247,6 +247,11 @@ class Trainer:
         self.scan_epochs = scan_epochs
         self.per_step_logging = per_step_logging
         self.train_visualization = train_visualization
+        if train_viz_interval <= 0:
+            # 0 would spin the chunked scan forever (and `g % 0` crashes the
+            # python-loop driver); "disable" is train_visualization=False
+            raise ValueError(
+                f"train_viz_interval must be >= 1, got {train_viz_interval}")
         self.train_viz_interval = train_viz_interval
         self.best = {"objective": 0.0, "epoch": -1}
         self.best_list = [0.0] * 6
