@@ -130,3 +130,31 @@ def test_run_sweep_concurrent():
     max_active = max_per_dev = 0
     assert len(run_sweep(job_fn, concurrency=999)) == 8
     assert max_per_dev == 1
+
+
+def test_sweep_cli_failed_jobs_exit_nonzero(tmp_path, monkeypatch):
+    """A sweep with failed jobs reports them, aggregates survivors, and raises
+    SystemExit (a driver gating on the exit code must not see success)."""
+    import json
+    import os
+
+    import pytest
+
+    from wt_pse_tpu.cli import sweep as sweep_cli
+
+    def fake_train_main(args=None, left_argv=None):
+        if args.datasetTest == [2]:
+            raise RuntimeError("synthetic job failure")
+        return {"DSC_OC": [0.8], "HD_OC": [10.0], "ASD_OC": [2.0],
+                "DSC_OD": [0.9], "HD_OD": [8.0], "ASD_OD": [1.0]}
+
+    monkeypatch.setattr(sweep_cli.train_cli, "main", fake_train_main)
+    out = str(tmp_path / "sweep")
+    args, left = sweep_cli.build_parser().parse_known_args(
+        ["--data-dir", "/d", "--out", out, "--parallel-jobs", "4"])
+    with pytest.raises(SystemExit, match="2/8 sweep jobs failed"):
+        sweep_cli.main(args, left)
+    # survivors still aggregated on disk
+    summary = json.load(open(os.path.join(out, "sweep_results.json")))
+    assert len(summary) == 6
+    assert "target2_OD" not in summary and "target2_OC" not in summary
