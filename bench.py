@@ -109,16 +109,24 @@ def watchdog(budget_s: float) -> None:
     minutes — observed round 3 while timing consecutive bench runs)."""
 
     def run():
+        next_beat = 60.0
         while True:
-            left = budget_s - (time.time() - T0)
+            elapsed = time.time() - T0
+            left = budget_s - elapsed
             if left <= 0:
                 log(f"watchdog fired (budget {budget_s}s, state: {progress['note']})")
-                printed_now = emit(progress["note"])
-                # emit() returning False means main() already printed a
-                # complete record and we are overrunning in interpreter
-                # shutdown — that run succeeded; don't turn it into rc=1
-                ok = (not printed_now) or progress["ips"] is not None
-                os._exit(0 if ok else 1)
+                emit(progress["note"])
+                # rc mirrors whether a NUMBER exists, no matter who printed
+                # the record: if main() already emitted, it may have been the
+                # explicit-failure (value: null) record on its way to
+                # sys.exit(1) — exiting 0 then would mislabel a failed run
+                os._exit(0 if progress["ips"] is not None else 1)
+            if elapsed >= next_beat:
+                # the TPU-claim wait and long compile-cache loads are silent
+                # from the main thread — heartbeat so a driver-side tail shows
+                # the run is alive and *where* it is, not hung
+                log(f"heartbeat: {progress['note']} ({left:.0f}s of budget left)")
+                next_beat = elapsed + 60.0
             time.sleep(min(max(left, 0.1), 5.0))
 
     threading.Thread(target=run, daemon=True).start()
@@ -228,6 +236,9 @@ def jax_train_ips() -> float:
     # (even after a clean exit) and the wait surfaces at the first value fetch —
     # probing here makes claim-wait and compile time separable in the log.
     progress["note"] = "waiting for TPU claim"
+    log("waiting for TPU claim (a recently-exited python TPU process holds it "
+        "for ~6 min even after a clean exit; each process KILLED mid-wait adds "
+        "a further unclaimed-grant timeout — observed 20 min after two kills)")
     t0 = time.time()
     float(np.asarray(jax.numpy.zeros(()) + 1))
     log(f"TPU claim acquired in {time.time() - t0:.1f}s")

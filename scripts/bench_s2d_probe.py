@@ -43,6 +43,12 @@ def conv(x, k):
 
 
 def s2d(x):
+    # LAYOUT WARNING: this probe packs PHASE-MAJOR (channel blocks of size c
+    # per phase) — the PRODUCTION implementation (wt_pse_tpu/ops/packed.py) is
+    # CHANNEL-MAJOR (out channel c*4+phase) and the two are NOT interchangeable.
+    # Timing is layout-agnostic (same op shapes), which is all this probe and
+    # its sibling scripts (bench_s2d_conv / bench_s2d_level2) measure; never
+    # copy these helpers into the library or mix them with ops.packed tensors.
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)

@@ -132,6 +132,28 @@ def test_run_sweep_concurrent():
     assert max_per_dev == 1
 
 
+def test_run_sweep_concurrent_survives_system_exit():
+    """SystemExit from a job (argparse-style CLI job_fns raise it, and it is a
+    BaseException) must not kill the device-queue thread: later jobs keep
+    running and the failure surfaces as an Exception instance the CLI's
+    `isinstance(r, Exception)` filter actually catches."""
+    import jax
+
+    def job_fn(job, device):
+        if job.target_domain == 1 and job.label == "OD":
+            raise SystemExit("ambiguous hparam arguments")
+        return f"{job.target_domain}-{job.label}"
+
+    results = run_sweep(job_fn, devices=jax.devices()[:2], concurrency=2)
+    assert len(results) == 8  # the queue drained fully despite the exit
+    failed = results[SweepJob(1, "OD")]
+    assert isinstance(failed, Exception)  # NOT a bare SystemExit
+    assert "ambiguous hparam arguments" in str(failed)
+    # (1,OD) is index 0 -> device 0's queue; (2,OD) index 2 is the NEXT job on
+    # that same queue — it ran, so the thread survived the SystemExit
+    assert results[SweepJob(2, "OD")] == "2-OD"
+
+
 def test_sweep_cli_failed_jobs_exit_nonzero(tmp_path, monkeypatch):
     """A sweep with failed jobs reports them, aggregates survivors, and raises
     SystemExit (a driver gating on the exit code must not see success)."""

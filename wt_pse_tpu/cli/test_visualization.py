@@ -34,12 +34,16 @@ from wt_pse_tpu.utils.visualization import save_per_img
 
 def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
                                    n_classes: int = 1,
-                                   algorithm: str = "WT_PSE"):
+                                   algorithm: str = "WT_PSE",
+                                   strict: bool = True):
     """Rebuild the 4 nets and overlay a reference-format checkpoint
-    (test_visulization.py:122-197 filtered partial load). The load is strict:
-    a checkpoint leaf with no slot in the selected template (wrong
+    (test_visulization.py:122-197 filtered partial load). The load is strict
+    by default: a checkpoint leaf with no slot in the selected template (wrong
     ``--algorithm``, wrong config) raises instead of silently evaluating
-    freshly-initialized weights."""
+    freshly-initialized weights. ``strict=False`` (CLI ``--partial-load``)
+    restores the reference's filter-update-load semantics — needed to evaluate
+    a FULL checkpoint under a reduced ablation template (e.g.
+    ``--whitening false``, whose DeepWT leaves then have no slot)."""
     import jax
 
     from wt_pse_tpu.io.torch_import import load_into_variables, load_reference_checkpoint
@@ -62,10 +66,10 @@ def build_networks_from_torch_ckpt(model_file: str, hparams: dict,
     v_oc_shape = stud_oc.init({"params": k}, img, method=ShapeStudent.initialize)
 
     trees = load_reference_checkpoint(model_file)
-    v_od, n1 = load_into_variables(v_od, trees["model"], strict=True)
-    v_od_shape, n2 = load_into_variables(v_od_shape, trees["model_shape"], strict=True)
-    v_oc, n3 = load_into_variables(v_oc, trees["model_oc"], strict=True)
-    v_oc_shape, n4 = load_into_variables(v_oc_shape, trees["model_oc_shape"], strict=True)
+    v_od, n1 = load_into_variables(v_od, trees["model"], strict=strict)
+    v_od_shape, n2 = load_into_variables(v_od_shape, trees["model_shape"], strict=strict)
+    v_oc, n3 = load_into_variables(v_oc, trees["model_oc"], strict=strict)
+    v_oc_shape, n4 = load_into_variables(v_oc_shape, trees["model_oc_shape"], strict=strict)
     print(f"checkpoint leaves matched: model={len(n1)} shape={len(n2)} "
           f"oc={len(n3)} oc_shape={len(n4)}")
     to_dev = lambda t: jax.tree.map(jnp.asarray, t)
@@ -115,6 +119,12 @@ def main(argv=None):
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--save-images", action="store_true",
                    help="write contour overlays (original_image/ + overlay/)")
+    p.add_argument("--partial-load", action="store_true",
+                   help="skip checkpoint leaves with no slot in the template "
+                        "(the reference's filtered partial load, "
+                        "test_visulization.py:122-197) instead of raising — "
+                        "for evaluating a full checkpoint under a reduced "
+                        "ablation config")
     p.add_argument("--packed", action="store_true",
                    help="space-to-depth predict (~2x; exact same math at "
                         "reassociation level — default off: the unpacked path "
@@ -136,7 +146,8 @@ def main(argv=None):
             args.model_file, hparams, n_classes, args.algorithm)
     else:  # reference-format .pth.tar (WT_PSE 4-net layout)
         nets, variables = build_networks_from_torch_ckpt(
-            args.model_file, hparams, n_classes, args.algorithm)
+            args.model_file, hparams, n_classes, args.algorithm,
+            strict=not args.partial_load)
     if joint:
         from wt_pse_tpu.train.eval import make_predict_fn_joint
 

@@ -73,6 +73,14 @@ def run_sweep(job_fn, jobs: list[SweepJob] | None = None, devices=None,
                 results[job] = job_fn(job, dev)
             except Exception as e:  # noqa: BLE001 — surfaced in the result dict
                 results[job] = e
+            # SystemExit too: argparse/CLI-style job_fns raise it (e.g. the
+            # train CLI's ambiguous-hparam repair), and it is a BaseException —
+            # without this clause it would kill the queue thread and abort the
+            # whole sweep, discarding every completed job's results. Wrapped in
+            # RuntimeError because callers filter on `isinstance(r, Exception)`
+            # and SystemExit is not an Exception subclass.
+            except SystemExit as e:
+                results[job] = RuntimeError(f"job exited: {e}")
 
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
         futures = [pool.submit(drain, dev, dev_jobs)

@@ -82,16 +82,26 @@ class StepConfig:
         # domain_num * per_domain_batch; grads/stats are pmean'd over axis_name
         self.axis_name = axis_name
         self.axis_size = axis_size
-        # optional fused Pallas covariance kernel (ops/whitening_pallas.py)
-        if bool(hparams.get("use_pallas_whitening", False)):
-            from wt_pse_tpu.ops.whitening_pallas import feature_covariance_pallas
-            self.cov_fn = feature_covariance_pallas
-        else:
-            self.cov_fn = None
         # space-to-depth training (hparam `space_to_depth`, ops/packed.py):
         # the step packs the batch once and every tensor that lives at the top
         # network level stays packed end-to-end — losses are phase-invariant
         self.s2d = bool(hparams.get("space_to_depth", False))
+        # optional fused Pallas covariance kernel (ops/whitening_pallas.py)
+        if bool(hparams.get("use_pallas_whitening", False)):
+            if self.s2d:
+                # the Pallas kernel reads unpacked (B,H,W,C) maps; the packed
+                # step hands whitening_loss_single packed tensors, which route
+                # to the phase-aware einsum. Refuse rather than silently run a
+                # different kernel than the one the user selected.
+                raise ValueError(
+                    "use_pallas_whitening=True is incompatible with "
+                    "space_to_depth=True (the packed step uses the einsum "
+                    "covariance; the Pallas kernel is unpacked-only) — "
+                    "disable one of the two")
+            from wt_pse_tpu.ops.whitening_pallas import feature_covariance_pallas
+            self.cov_fn = feature_covariance_pallas
+        else:
+            self.cov_fn = None
 
     def _pmean(self, tree):
         if self.axis_name is None:

@@ -409,10 +409,10 @@ class Trainer:
                     names = sorted(ms)
                     per_step = np.asarray(jnp.stack([ms[k] for k in names]))
                 if self.per_step_logging:
-                    for it in range(per_step.shape[1]):
-                        self.logger.step_scalars(
-                            base + it,
-                            {k: per_step[j, it] for j, k in enumerate(names)})
+                    self.logger.step_scalars_many(
+                        (base + it,
+                         {k: per_step[j, it] for j, k in enumerate(names)})
+                        for it in range(per_step.shape[1]))
                 metrics = {k: float(per_step[j].mean())
                            for j, k in enumerate(names)}
             else:
@@ -443,6 +443,14 @@ class Trainer:
                     # re-copy: the restored buffers will be donated next step
                     self.state = jax.tree.map(jnp.copy, self._last_good)
                     self.run_key = jax.random.fold_in(self.run_key, epoch + 977)
+                    # rolled-back epochs still get their log.csv row (the NaN
+                    # metrics make the anomaly visible there) — one row per
+                    # epoch is the csv_row contract
+                    self.logger.csv_row(
+                        epoch, (epoch + 1) * self.iter_per_epoch,
+                        metrics.get("loss_seg", 0.0),
+                        train_cup=metrics.get("train_dice_oc"),
+                        train_disc=metrics.get("train_dice"))
                     continue
                 raise ValueError("loss is nan while training")  # Trainer.py:799-800
             if self.nan_recovery:

@@ -60,15 +60,26 @@ class RunLogger:
         these are emitted in one burst per epoch from the stacked scan outputs
         (the values are identical to what a python loop would log; only the
         wall-clock ``t`` is end-of-epoch)."""
-        rec = {"kind": "step", "step": iteration,
-               "t": round(time.time() - self.t0, 3)}
-        rec.update({k: float(v) for k, v in payload.items()})
-        with open(self.jsonl_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        if self.tb is not None:
-            for k, v in rec.items():
-                if k not in ("step", "t", "kind"):
-                    self.tb.add_scalar(f"train_step/{k}", v, iteration)
+        self.step_scalars_many([(iteration, payload)])
+
+    def step_scalars_many(self, records):
+        """Batched ``step_scalars``: one file open for a whole epoch's burst
+        (the scan driver hands over thousands of per-step records at the epoch
+        boundary — per-record open/close there is pure syscall overhead).
+        ``records`` is an iterable of ``(iteration, payload)`` pairs."""
+        t = round(time.time() - self.t0, 3)
+        lines = []
+        for iteration, payload in records:
+            rec = {"kind": "step", "step": iteration, "t": t}
+            rec.update({k: float(v) for k, v in payload.items()})
+            lines.append(json.dumps(rec))
+            if self.tb is not None:
+                for k, v in rec.items():
+                    if k not in ("step", "t", "kind"):
+                        self.tb.add_scalar(f"train_step/{k}", v, iteration)
+        if lines:
+            with open(self.jsonl_path, "a") as f:
+                f.write("\n".join(lines) + "\n")
 
     def csv_row(self, epoch: int, iteration: int, loss_seg: float,
                 val: dict | None = None, train_cup: float | None = None,
