@@ -65,6 +65,16 @@ def test_watershed_cross_entropy_matches_torch_formula(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_watershed_cross_entropy_finite_on_degenerate_masks(rng):
+    """Empty and all-true mask channels: the reference formula NaNs
+    (max(DT)=inf resp. 0/0); the algebraic form stays finite (losses.py)."""
+    x = rng.randn(1, 8, 8, 2).astype(np.float32)
+    for fill in (0.0, 1.0):
+        t = np.full((1, 8, 8, 2), fill, np.float32)
+        v = float(L.watershed_cross_entropy(jnp.asarray(x), jnp.asarray(t)))
+        assert np.isfinite(v)
+
+
 def test_cross_entropy2d_matches_torch(rng):
     x = rng.randn(2, 6, 6, 3).astype(np.float32)
     t = rng.randint(0, 3, size=(2, 6, 6))

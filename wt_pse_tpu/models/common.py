@@ -86,3 +86,29 @@ def unet_run(m, x1, train: bool, packed: bool = False):
     x = m.up3(x, x2, train, packed_out=l2, packed_input=l3)
     x = m.up4(x, x1, train, packed_out=packed, packed_input=l2)
     return x
+
+
+def attention_fuse(cfg, attention_layer, embedding, z_posterior,
+                   packed: bool = False):
+    """Attention-gated fusion shared by WTPSE and JointShapeReg
+    (algorithms.py:1241-1253): ``coef*emb + attn*emb``, optional ``cat_shape``
+    concat. Returns (fused embedding, attention map or None). Called from
+    inside the owning module's method so ``attention_layer`` binds normally.
+    """
+    import jax.numpy as jnp
+
+    if cfg.shape_attention:
+        att, _ = attention_layer(z_posterior, packed)
+        if packed:
+            from wt_pse_tpu.ops.packed import pbroadcast_mul
+
+            fused = cfg.shape_attention_coeffient * embedding \
+                + pbroadcast_mul(embedding, att)
+        else:
+            fused = cfg.shape_attention_coeffient * embedding + att * embedding
+    else:
+        att = None
+        fused = embedding
+    if cfg.cat_shape:
+        fused = jnp.concatenate([fused, z_posterior], axis=-1)
+    return fused, att

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from wt_pse_tpu.models.common import ModelConfig, unet_run
+from wt_pse_tpu.models.common import ModelConfig, attention_fuse, unet_run
 from wt_pse_tpu.models.deepwt import DeepWT
 from wt_pse_tpu.models.layers import AttentionLayer, ConvD, ConvU, ConvStack1x1
 from wt_pse_tpu.models.shape_prior import ShapeStudent
@@ -57,28 +57,15 @@ class JointShapeReg(nn.Module):
             self.prior_dist = ShapeStudent(cfg)
         self.mu = ConvStack1x1([2 * n, cfg.feature_dim], dtype=dt)
         self.outc = ConvStack1x1([cfg.n_classes], dtype=dt)
-        self.attention_layer = AttentionLayer(1)
+        self.attention_layer = AttentionLayer(1, dtype=dt)
 
     def embed(self, inputs: jax.Array, train: bool, packed: bool = False) -> jax.Array:
         x1 = self.inc(inputs, train, packed=packed)
         return self.mu(unet_run(self, x1, train, packed), packed)
 
     def _fuse(self, embedding, z, packed: bool = False):
-        if self.cfg.shape_attention:
-            att, _ = self.attention_layer(z, packed)
-            if packed:
-                from wt_pse_tpu.ops.packed import pbroadcast_mul
-
-                fused = self.cfg.shape_attention_coeffient * embedding \
-                    + pbroadcast_mul(embedding, att)
-            else:
-                fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
-        else:
-            att = None
-            fused = embedding
-        if self.cfg.cat_shape:
-            fused = jnp.concatenate([fused, z], axis=-1)
-        return fused, att
+        return attention_fuse(self.cfg, self.attention_layer, embedding, z,
+                              packed)
 
     def __call__(self, inputs, mask, wt_inputs, train: bool = True,
                  eps: jax.Array | None = None):
@@ -125,4 +112,8 @@ class JointShapeReg(nn.Module):
             from wt_pse_tpu.ops.packed import pack
 
             inputs, mask = pack(inputs), pack(mask)
-        return self(inputs, mask, inputs, train=False)
+        # eps=zeros like every sibling initialize: without it the prior's
+        # make_rng('sample') fires during .init and only works through flax's
+        # fallback-to-params-rng (version-dependent behavior)
+        return self(inputs, mask, inputs, train=False,
+                    eps=jnp.zeros(inputs.shape[:3] + (1,), inputs.dtype))

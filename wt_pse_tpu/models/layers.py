@@ -381,13 +381,15 @@ class ConvStack1x1(nn.Module):
 
 class AttentionLayer(nn.Module):
     """1x1 conv + sigmoid gate — ``/root/reference/algorithms.py:1120-1129``.
-    Returns (sigmoid(logits), logits)."""
+    Returns (sigmoid(logits), logits). ``dtype`` follows the owning module's
+    compute_dtype so bf16 mode applies to the gate like every other head."""
 
     features: int = 1
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, packed: bool = False) -> tuple[jax.Array, jax.Array]:
-        logits = conv1x1(self.features, name="layer1")(x, packed)
+        logits = conv1x1(self.features, name="layer1", dtype=self.dtype)(x, packed)
         return jax.nn.sigmoid(logits), logits
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from wt_pse_tpu.models.common import ModelConfig, unet_run
+from wt_pse_tpu.models.common import ModelConfig, attention_fuse, unet_run
 from wt_pse_tpu.models.deepwt import DeepWT
 from wt_pse_tpu.models.layers import AttentionLayer, ConvD, ConvU, ConvStack1x1
 from wt_pse_tpu.models.shape_prior import TeacherShapePrior
@@ -48,13 +48,12 @@ class WTPSE(nn.Module):
         self.up4 = ConvU(2 * n, bn_axis_name=ax, dtype=dt)
         if cfg.shape_prior:
             self.prior_dist = TeacherShapePrior(cfg)
-            feature_dim_fuse = cfg.feature_dim + 1 if cfg.cat_shape else cfg.feature_dim
-        else:
-            feature_dim_fuse = cfg.feature_dim
-        del feature_dim_fuse  # outc infers its input width from the fused embedding
+        # (the reference's feature_dim_fuse bookkeeping — feature_dim+1 under
+        # cat_shape, algorithms.py:1160-1164 — is unnecessary here: outc infers
+        # its input width from the fused embedding)
         self.mu = ConvStack1x1([2 * n, cfg.feature_dim], dtype=dt)
         self.outc = ConvStack1x1([cfg.n_classes], dtype=dt)
-        self.attention_layer = AttentionLayer(1)
+        self.attention_layer = AttentionLayer(1, dtype=dt)
 
     # -- shared pieces -----------------------------------------------------
 
@@ -68,21 +67,8 @@ class WTPSE(nn.Module):
               packed: bool = False):
         """Attention-gated fusion (algorithms.py:1241-1253). Returns
         (fused embedding, attention map)."""
-        if self.cfg.shape_attention:
-            att, _ = self.attention_layer(z_posterior, packed)
-            if packed:
-                from wt_pse_tpu.ops.packed import pbroadcast_mul
-
-                fused = self.cfg.shape_attention_coeffient * embedding \
-                    + pbroadcast_mul(embedding, att)
-            else:
-                fused = self.cfg.shape_attention_coeffient * embedding + att * embedding
-        else:
-            att = None
-            fused = embedding
-        if self.cfg.cat_shape:
-            fused = jnp.concatenate([fused, z_posterior], axis=-1)
-        return fused, att
+        return attention_fuse(self.cfg, self.attention_layer, embedding,
+                              z_posterior, packed)
 
     # -- training forward (reference .update(), algorithms.py:1216-1275) ----
 

@@ -75,15 +75,20 @@ def distance_transform(bitmap: jax.Array) -> jax.Array:
 
 def watershed_cross_entropy(logits: jax.Array, target: jax.Array) -> jax.Array:
     """WatershedCrossEntropy parity (metrics.py:26-45), NHWC with channels
-    [disc, cup]: distance-transform-weighted BCE-with-logits."""
-    disc = target[..., 0]
-    cup = target[..., 1]
-    disc_dt = distance_transform(disc)
-    cup_dt = distance_transform(cup)
-    disc_w = disc * (1.0 - disc_dt / jnp.max(disc_dt)) + 1.0
-    cup_w = cup * (1.0 - cup_dt / jnp.max(cup_dt)) + 1.0
+    [disc, cup]: distance-transform-weighted BCE-with-logits.
+
+    The reference's weight ``map * (1 - DT/max(DT)) + 1`` (metrics.py:36-37)
+    reduces algebraically to ``map + 1``: DT is exactly 0 on every ``map==1``
+    pixel (distance to the nearest True pixel), and the ``1 - DT/max`` factor
+    is multiplied by ``map`` — so it is only ever evaluated where it equals 1.
+    We compute ``target + 1`` directly: bit-identical wherever the reference
+    formula is finite (gated by tests/test_losses.py against the explicit
+    torch+scipy formula), skips two full EDTs, and stays finite on the
+    degenerate masks where the reference NaNs out (empty map -> max(DT)=inf;
+    all-true map -> 0/0)."""
+    weights = target + 1.0
     ce = optax.sigmoid_binary_cross_entropy(logits, target)
-    return jnp.mean(disc_w * ce[..., 0] + cup_w * ce[..., 1])
+    return jnp.mean(weights[..., 0] * ce[..., 0] + weights[..., 1] * ce[..., 1])
 
 
 def cross_entropy2d(logits: jax.Array, target: jax.Array, weight=None,

@@ -67,6 +67,12 @@ def label_components(mask: jax.Array, connectivity: int = 2,
     stable labels, sufficient for area analysis).
     """
     b, h, w = mask.shape
+    # seeds ride float32 through reduce_window; they stay exact only up to
+    # 2^24 — beyond that distinct seeds collide and components can merge
+    if h * w + 1 > 2 ** 24:
+        raise ValueError(
+            f"label_components supports at most 2^24-1 pixels (got {h}x{w}); "
+            "use the host path (ops/postprocess.py) for larger masks")
     m = mask > 0
     seeds = (jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w) + 1.0) * m
     pool = _maxpool8 if connectivity == 2 else _maxpool4
@@ -76,7 +82,8 @@ def label_components(mask: jax.Array, connectivity: int = 2,
 
 @partial(jax.jit, static_argnames=("connectivity",))
 def largest_component(mask: jax.Array, connectivity: int = 2) -> jax.Array:
-    """Keep only the largest component per batch item (ties: higher id wins —
+    """Keep only the largest component per batch item (ties: argmax keeps the
+    first maximum, i.e. the LOWEST id — the tie-break is arbitrary either way;
     area ties between distinct regions are measure-zero for real predictions)."""
     b, h, w = mask.shape
     ids = label_components(mask, connectivity)
@@ -90,7 +97,12 @@ def largest_component(mask: jax.Array, connectivity: int = 2) -> jax.Array:
 
 @jax.jit
 def fill_holes(mask: jax.Array) -> jax.Array:
-    """scipy ``binary_fill_holes`` parity (4-connectivity background flood)."""
+    """scipy ``binary_fill_holes`` parity (4-connectivity background flood).
+
+    Same iteration cap as ``label_components``: the border flood runs at most
+    H+W steps, so background corridors with geodesic length > H+W would be
+    misread as holes and filled. Ample for anatomical masks (convex-ish
+    disc/cup); the host path stays the oracle for pathological shapes."""
     b, h, w = mask.shape
     m = mask > 0
     bg = ~m

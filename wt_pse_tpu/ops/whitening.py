@@ -194,6 +194,12 @@ def student_whitening_loss(wt_feats, domain_num: int, per_domain_batch: int,
         offs.append(off_t)
         diags.append(diag_t)
         doms.append(dom_t)
+    if not diags:
+        # single-map list (DeepWT(whitening=False) returns [x]): nothing to
+        # whiten — return zeros like main_whitening_loss does, instead of
+        # indexing diags[-1] below
+        zero = jnp.asarray(0.0, jnp.float32)
+        return zero, zero, zero, zero
     denom = num if replicate_ref_quirks else max(num - 1, 1)
     inst_off = sum(offs) / denom
     if replicate_ref_quirks:
