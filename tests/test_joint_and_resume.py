@@ -132,3 +132,59 @@ def test_resume_roundtrip(fundus_root, tmp_path):
     a = np.asarray(__import__("jax").tree.leaves(t1.state.od.params)[0])
     b = np.asarray(__import__("jax").tree.leaves(t2.state.od.params)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_resume_restores_best_tracking(fundus_root, tmp_path):
+    """best.json written on each new best is read back by --resume, so a
+    resumed run can't report only post-resume metrics or overwrite a better
+    checkpoint with a worse one."""
+    import json
+
+    from wt_pse_tpu.io.checkpoint import save_ensemble
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hparams = default_hparams("WT_PSE")
+    train_doms, val_dom = _domains(fundus_root)
+    kw = dict(hparams=hparams, train_domains=train_doms, val_domain=val_dom,
+              label="OD", batch_size=3, max_epoch=1, interval_validate=99,
+              seed=1, image_size=SIZE)
+    t1 = Trainer(out_dir=str(tmp_path / "a"), **kw)
+    t1.train()
+    ck = str(tmp_path / "a" / "manual_ck")
+    save_ensemble(ck, t1.state)
+    best = {"objective": 0.93, "epoch": 7,
+            "best_list": [0.9, 5.0, 1.0, 0.93, 4.0, 0.8]}
+    with open(str(tmp_path / "a" / "best.json"), "w") as f:
+        json.dump(best, f)
+
+    t2 = Trainer(out_dir=str(tmp_path / "b"), resume=ck, **kw)
+    assert t2.best == {"objective": 0.93, "epoch": 7}
+    assert t2.best_list == best["best_list"]
+
+
+def test_trainer_rejects_label_none(fundus_root, tmp_path):
+    """The reference's 2-class (label=None) TRAINING path crashes as shipped
+    (BCELoss shape mismatch); the Trainer refuses it with a clear error.
+    (evaluate_domain still supports label=None for programmatic eval parity.)"""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    train_doms, val_dom = _domains(fundus_root)
+    with pytest.raises(ValueError, match="label must be"):
+        Trainer(hparams=default_hparams("WT_PSE"), train_domains=train_doms,
+                val_domain=val_dom, label=None, batch_size=3, max_epoch=1,
+                out_dir=str(tmp_path), image_size=SIZE)
+
+
+def test_loader_cache_distinguishes_domain4_crop(fundus_root):
+    """splitid [4] (int, no crop) and ['4'] (string, reference crop quirk)
+    must not alias to one npz cache entry (fundus.py cache key)."""
+    from wt_pse_tpu.data.fundus import load_fundus
+
+    a = load_fundus(fundus_root, "train", [4], size=SIZE, cache=True)
+    b = load_fundus(fundus_root, "train", ["4"], size=SIZE, cache=True)
+    a2 = load_fundus(fundus_root, "train", [4], size=SIZE, cache=True)
+    # the cropped variant reads a (144,144)+512x512 window of a 64px source ->
+    # mostly black; the uncropped one is random noise. If the cache aliased,
+    # a2 would silently return b's arrays.
+    assert not np.array_equal(np.asarray(a.images), np.asarray(b.images))
+    np.testing.assert_array_equal(np.asarray(a.images), np.asarray(a2.images))

@@ -96,3 +96,35 @@ def test_postprocess_logits_threshold_and_channels():
     assert out[1][8, 8] == 1
     out2 = postprocess_logits(logits, label=None)
     assert out2[1][8, 8] == 1
+
+
+def test_evaluate_domain_label_none_two_class_mode():
+    """The vestigial 2-class (label=None) eval path, reference-validate
+    semantics (Trainer.py:215-239): 2-channel predictions in [cup, disc]
+    order; disc Dice from the OD model's channel 1, cup Dice from the OC
+    model's channel 0, HD/ASD from channel 0 of each (the reference's own
+    channel quirk). A perfect 2-channel prediction must score 1.0 Dice."""
+    import jax.numpy as jnp
+
+    from wt_pse_tpu.train.eval import evaluate_domain
+
+    hw = 64
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    disc = (((yy - 32) ** 2 + (xx - 32) ** 2) < 20 ** 2).astype(np.float32)
+    cup = (((yy - 32) ** 2 + (xx - 32) ** 2) < 10 ** 2).astype(np.float32)
+
+    logits2 = np.stack([cup, disc], axis=-1) * 20.0 - 10.0  # (H, W, 2)
+
+    def predict_fn(v0, v1, v2, v3, img):
+        out = np.broadcast_to(logits2, img.shape[:3] + (2,))
+        return jnp.asarray(out), jnp.asarray(out)
+
+    images = np.zeros((2, hw, hw, 3), np.uint8)
+    res = evaluate_domain(predict_fn, ((),) * 4, images,
+                          od_masks=[disc, disc], oc_masks=[cup, cup],
+                          label=None, batch_size=2)
+    assert res["disc_dice"] > 0.999 and res["cup_dice"] > 0.999
+    assert res["objective"] == (res["cup_dice"] + res["disc_dice"]) / 2
+    # HD/ASD compare channel 0 (cup) of each model per the reference quirk:
+    # perfect prediction -> 0 distance
+    assert res["cup_hd"] < 1e-6 and res["disc_hd"] < 1e-6

@@ -197,3 +197,25 @@ def test_dp_s2d_full_step_runs_and_is_finite(levels):
         assert np.isfinite(float(v)), k
     after = np.asarray(jax.tree.leaves(new_state.od.params)[0])
     assert not np.allclose(before, after)
+
+
+def test_dp_step_rejects_unsynced_batchnorm():
+    """make_dp_train_step must refuse nets built without sync-BN: per-device
+    batch_stats would diverge while the replicated out-spec (check_vma=False)
+    silently ships an arbitrary device's stats."""
+    import pytest
+
+    from wt_pse_tpu.config import default_hparams
+    from wt_pse_tpu.models.common import ModelConfig
+    from wt_pse_tpu.models.shape_prior import ShapeStudent
+    from wt_pse_tpu.models.wt_pse import WTPSE
+    from wt_pse_tpu.parallel.dp import make_dp_train_step
+    from wt_pse_tpu.parallel.mesh import data_mesh
+
+    hp = default_hparams("WT_PSE")
+    cfg = ModelConfig.from_hparams(hp)  # bn_axis_name=None: NOT sync-BN
+    nets = (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
+            ShapeStudent(cfg))
+    with pytest.raises(ValueError, match="bn_axis_name"):
+        make_dp_train_step(*nets, txs=None, hparams=hp, mesh=data_mesh(4),
+                           domain_num=3, per_domain_batch_global=8)

@@ -180,3 +180,21 @@ def test_sweep_cli_failed_jobs_exit_nonzero(tmp_path, monkeypatch):
     summary = json.load(open(os.path.join(out, "sweep_results.json")))
     assert len(summary) == 6
     assert "target2_OD" not in summary and "target2_OC" not in summary
+
+
+def test_sweep_cli_rejects_resume_and_duplicates(tmp_path):
+    import pytest
+
+    from wt_pse_tpu.cli import sweep as sweep_cli
+
+    parser = sweep_cli.build_parser()
+    # --resume would broadcast one checkpoint into every split/label job
+    args, left = parser.parse_known_args(
+        ["--resume", str(tmp_path / "ckpt"), "--out", str(tmp_path)])
+    with pytest.raises(SystemExit, match="resume"):
+        sweep_cli.main(args, left)
+    # duplicate jobs would race on one output dir and collapse in the results
+    args, left = parser.parse_known_args(
+        ["--targets", "1", "1", "--labels", "OD", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit, match="duplicate"):
+        sweep_cli.main(args, left)

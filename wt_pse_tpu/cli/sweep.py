@@ -59,8 +59,26 @@ def main(args=None, left_argv=None):
         args, left_argv = parser.parse_known_args()
     import jax
 
+    if getattr(args, "resume", None):
+        # vars(args) is copied into every job: a single checkpoint would warm-
+        # start all leave-one-out splits/labels from the same weights (and
+        # their step count skips epochs of each job's own schedule) — every
+        # result would be silently contaminated. Resume individual jobs via
+        # the train CLI instead.
+        raise SystemExit(
+            "--resume is not supported by the sweep launcher (it would "
+            "restore ONE checkpoint into every split/label job); resume the "
+            "affected job with wt-pse-train --resume ... --datasetTest <t> "
+            "--label <l>")
+
     out_root = args.out or os.path.join("runs", f"sweep_{date.today()}")
     jobs = [SweepJob(t, l) for t in args.targets for l in args.labels]
+    if len(set(jobs)) != len(jobs):
+        # duplicates would race on one output dir and collapse in the results
+        # dict (dict keyed by the frozen SweepJob), silently dropping runs
+        dupes = list(dict.fromkeys(j for j in jobs if jobs.count(j) > 1))
+        raise SystemExit(f"duplicate sweep jobs requested: {dupes} — "
+                         "pass each target/label at most once")
 
     def job_fn(job: SweepJob, device):
         print("=" * 20, f"sweep job: target {job.target_domain}, "

@@ -101,7 +101,12 @@ def load_fundus(
 
     cache_path = None
     if cache:
-        key = f"{phase}-{'_'.join(map(str, splitid))}-{state}-{size}"
+        # str(4) == str('4') but the Domain4 pre-crop fires only for the STRING
+        # '4' (the reference's string-compare quirk, see do_crop below) — key
+        # the crop decision explicitly so the two configurations never alias
+        # to the same cache entry
+        crop_tag = "crop" if (len(splitid) > 0 and splitid[0] == "4") else "nocrop"
+        key = f"{phase}-{'_'.join(map(str, splitid))}-{state}-{size}-{crop_tag}"
         digest = hashlib.sha1(key.encode()).hexdigest()[:10]
         cache_dir = os.path.join(base_dir, ".wt_pse_cache")
         cache_path = os.path.join(cache_dir, f"fundus_{key}_{digest}.npz")
@@ -133,9 +138,7 @@ def load_fundus(
             raise ValueError(f"unknown dataset prefix: {image_path}")
         img = Image.open(image_path).convert("RGB")
         lab = Image.open(mask_path)
-        if lab.mode == "RGB":
-            lab = lab.convert("L")
-        elif lab.mode != "L":
+        if lab.mode != "L":
             lab = lab.convert("L")
         if do_crop:
             img = img.crop((144, 144, 144 + 512, 144 + 512))

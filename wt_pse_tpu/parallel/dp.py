@@ -40,6 +40,17 @@ def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
         raise ValueError(
             f"per-domain batch {per_domain_batch_global} not divisible by "
             f"{n_dev} devices")
+    for m in (main_od, stud_od, main_oc, stud_oc):
+        # without sync-BN each device would update batch_stats from its local
+        # shard only; the replicated out-spec (with check_vma=False) would then
+        # silently ship whichever device's divergent stats XLA picks — catch
+        # the misconfiguration at build time instead
+        if getattr(m.cfg, "bn_axis_name", None) != axis:
+            raise ValueError(
+                f"{type(m).__name__} was built with bn_axis_name="
+                f"{getattr(m.cfg, 'bn_axis_name', None)!r}; data-parallel "
+                f"training needs ModelConfig(bn_axis_name={axis!r}) so "
+                "BatchNorm statistics pmean over the mesh (sync-BN)")
     pdb_local = per_domain_batch_global // n_dev
 
     cfg = StepConfig(hparams, domain_num, pdb_local,

@@ -203,7 +203,10 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
                 od_native = np.asarray(_resize_logits(out_od, native_hw))[: len(chunk)]
                 oc_native = np.asarray(_resize_logits(out_oc, native_hw))[: len(chunk)]
             for j, i in enumerate(chunk):
-                res = _score_one(od_native[j, ..., 0], oc_native[j, ..., 0],
+                # (H, W, C) -> (C, H, W): label set -> C=1; label=None -> the
+                # 2-class models' both channels reach the scorer
+                res = _score_one(np.moveaxis(od_native[j], -1, 0),
+                                 np.moveaxis(oc_native[j], -1, 0),
                                  np.asarray(od_masks[i]).squeeze(),
                                  np.asarray(oc_masks[i]).squeeze(), label)
                 for k, v in res.items():
@@ -221,11 +224,31 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
 
 def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,
                oc_gt: np.ndarray, label: str | None) -> dict[str, float]:
-    pred_od = postprocess_logits(od_logits[None], label=label or "OD")[0]
-    pred_oc = postprocess_logits(oc_logits[None], label=label or "OC")[0]
+    """Score one image. ``od_logits``/``oc_logits`` are (C, H, W).
 
-    _, disc_dice = M.dice_coeff_2label(pred_od[None], od_gt[None], label)
-    cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
+    ``label`` set (the paper's per-label two-stage pipeline): C == 1, channel 0
+    carries the stage's class (Trainer.py:215-218 with dice_coeff_2label's
+    label-set branch). ``label=None`` (the vestigial 2-class mode — only the
+    reference's *validation* machinery supports it; see Trainer docstring):
+    C == 2 with reference channel order [cup, disc]; dice reads disc from the
+    OD model's channel 1 and cup from the OC model's channel 0, while HD/ASD
+    compare channel 0 of each model against the GT — the reference's own
+    channel choice at Trainer.py:221-239, replicated including its quirk of
+    measuring 'disc' HD/ASD on channel 0."""
+    if label is None:
+        pred_od = postprocess_logits(od_logits, label=None)
+        pred_oc = postprocess_logits(oc_logits, label=None)
+        # 2-channel GT in reference multilabel order [cup, disc]
+        gt2 = np.stack([oc_gt, od_gt])
+        _, disc_dice = M.dice_coeff_2label(pred_od, gt2, None)
+        cup_dice, _ = M.dice_coeff_2label(pred_oc, gt2, None)
+        pred_od, od_gt = pred_od[0], gt2[0]  # HD/ASD channel 0 (ref parity)
+        pred_oc, oc_gt = pred_oc[0], gt2[0]
+    else:
+        pred_od = postprocess_logits(od_logits, label=label)[0]
+        pred_oc = postprocess_logits(oc_logits, label=label)[0]
+        _, disc_dice = M.dice_coeff_2label(pred_od[None], od_gt[None], label)
+        cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
 
     as_bool = lambda x: np.asarray(x, dtype=bool)
     if pred_oc.sum() < 1e-4:

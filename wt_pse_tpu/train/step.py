@@ -217,6 +217,13 @@ def make_train_step(main_od: WTPSE, stud_od: ShapeStudent, main_oc: WTPSE,
             lambda out: bce_probs(out, target_od), cfg, k1)
 
         # ---- phase 2: OD shape distillation ---------------------------------
+        # Gate note: the reference gates these phases on `whitening` alone
+        # (Trainer.py:810,894), but with shape_prior=False its student update
+        # immediately dereferences the main net's nonexistent `prior_dist`
+        # (shape_networks.py:516 — WT_PSE only builds it under shape_prior,
+        # algorithms.py:1187) and crashes with AttributeError. We additionally
+        # gate on shape_prior: the only combo that differs is one the
+        # reference cannot run (documented divergence, not silent drift).
         m2 = {}
         od_shape = state.od_shape
         if cfg.distill and cfg.whitening and cfg.shape_prior:

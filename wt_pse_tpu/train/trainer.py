@@ -109,7 +109,18 @@ class Trainer:
         total = sum(len(d) for d in train_domains)
         self.iter_per_epoch = max(total // batch_size, 1)
 
-        n_classes = 1 if label in ("OC", "OD") else 2
+        if label not in ("OC", "OD"):
+            # the reference's label=None 2-class mode is vestigial: training
+            # crashes there at the first loss (BCELoss shape mismatch — the
+            # n_classes=2 logits against the 1-channel target_od,
+            # train.py:84-92 + Trainer.py:787); only its *validation* code
+            # handles 2 channels. evaluate_domain supports label=None for
+            # programmatic eval parity; training is per-label by design.
+            raise ValueError(
+                f"label must be 'OD' or 'OC' for training (got {label!r}); "
+                "the reference's 2-class (label=None) training path is "
+                "non-functional as shipped — see Trainer docstring")
+        n_classes = 1
         cfg = ModelConfig.from_hparams(self.hparams, n_classes=n_classes)
         self.cfg = cfg
         self.algorithm = algorithm
@@ -196,6 +207,12 @@ class Trainer:
                 roi = (image + 1.0) * od_pred - 1.0
             out_oc, att_oc, _w = self.main_oc.apply(
                 oc_vars, roi, t_oc, roi, False, eps=eps)
+            # reference parity (Trainer.py:873,944): the montage thresholds the
+            # MASKED logits sigmoid(out_oc * od_pred) — outside the OD ROI it
+            # shows sigmoid(0)=0.5 -> always below 0.75, never spurious OC
+            # hits. Both are 1-channel and share the layout (packed or not),
+            # so the multiply is phase-aligned elementwise either way.
+            out_oc = out_oc * od_pred
             if att_oc is None:
                 att_oc = jnp.zeros_like(out_oc)
             if cfg.s2d:
@@ -273,6 +290,20 @@ class Trainer:
 
             self.state = restore_ensemble(resume, self.state)
             self.epoch = int(self.state.step) // max(self.iter_per_epoch, 1)
+            # restore best-tracking too: otherwise the first post-resume
+            # validation registers as a "new best" (overwriting a better
+            # checkpoint) and train() reports only post-resume metrics
+            best_json = os.path.join(os.path.dirname(os.path.abspath(resume)),
+                                     "best.json")
+            if os.path.exists(best_json):
+                import json as _json
+
+                rec = _json.load(open(best_json))
+                self.best = {"objective": float(rec["objective"]),
+                             "epoch": int(rec["epoch"])}
+                self.best_list = [float(v) for v in rec["best_list"]]
+                print(f"restored best: objective {self.best['objective']:.4f} "
+                      f"at epoch {self.best['epoch']}")
             print(f"resumed from {resume} at step {int(self.state.step)} "
                   f"(epoch {self.epoch})")
 
@@ -359,14 +390,19 @@ class Trainer:
         tracing)."""
         jax.profiler.start_trace(self.profile_dir)
         key = jax.random.fold_in(self.run_key, 0x7FFFFFFF)  # off the epoch stream
-        st = self.state
+        # profile on a throwaway COPY: the profiled updates must not leak into
+        # the training trajectory (same-seed runs with/without --profile-dir
+        # stay identical, and state.step keeps epoch accounting for resume).
+        # fused_step donates arg 0, so the copy's buffers are consumed, not
+        # self.state's.
+        st = jax.tree.map(jnp.copy, self.state)
         for i in range(self.profile_steps):
             st, m = self.fused_step(st, self.data, jax.random.fold_in(key, i))
         # force a value fetch: on the axon tunnel block_until_ready can return
         # at enqueue, which would stop the trace before the work runs
         float(np.asarray(m["loss_seg"]))
         jax.profiler.stop_trace()
-        self.state = st
+        del st
         print(f"profiler trace ({self.profile_steps} steps) -> {self.profile_dir}")
 
     def train(self) -> list[float]:
@@ -484,6 +520,12 @@ class Trainer:
                     self.logger.best_score(val)
                     save_ensemble(
                         os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
+                    import json as _json
+
+                    with open(os.path.join(self.out, "best.json"), "w") as f:
+                        _json.dump({"objective": self.best["objective"],
+                                    "epoch": self.best["epoch"],
+                                    "best_list": self.best_list}, f)
                 elif (epoch + 1) % 300 == 0:
                     # reference parity (Trainer.py:293-303): non-best validations
                     # still write a periodic resume-style checkpoint every 300
