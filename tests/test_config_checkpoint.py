@@ -89,6 +89,33 @@ def test_repair_left_argv(tmp_path):
         _repair_left_argv(["--some-flag", "--compute_dtype"], ["bfloat16"])
 
 
+def test_main_accepts_argv_list(tmp_path, monkeypatch):
+    """main() takes a Namespace (the sweep CLI's path) OR an argv list — the
+    natural programmatic form; hparam leftovers parse out either way."""
+    from wt_pse_tpu.cli import train as train_cli
+    from wt_pse_tpu.utils import snapshot
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, **kw):
+            seen.update(kw)
+
+        def train(self):
+            return [0.1] * 6
+
+    monkeypatch.setattr(train_cli, "Trainer", FakeTrainer)
+    monkeypatch.setattr(train_cli, "load_train_domains", lambda *a, **k: [])
+    monkeypatch.setattr(train_cli, "load_fundus", lambda *a, **k: None)
+    monkeypatch.setattr(snapshot, "save_code", lambda *a, **k: None)
+    res = train_cli.main([
+        "--label", "OC", "--out", str(tmp_path / "o"),
+        "--running_times", "1", "--margin=0.5"])
+    assert seen["label"] == "OC"
+    assert seen["hparams"]["margin"] == 0.5
+    assert res["DSC_OC"] == [0.1]
+
+
 @pytest.mark.slow  # full-ensemble init + orbax save/restore (~45s); scripts/test.sh --slow
 def test_orbax_roundtrip(tmp_path):
     from wt_pse_tpu.models.common import ModelConfig

@@ -137,6 +137,12 @@ def main(args=None, left_argv=None):
     parser = build_parser()
     if args is None:
         args, left_argv = parser.parse_known_args()
+    elif isinstance(args, (list, tuple)):
+        # argv-style programmatic invocation: main(["--label", "OD", ...]);
+        # hparam leftovers parse out the same way the shell path does, and an
+        # explicit left_argv= is still honoured alongside them
+        args, extra = parser.parse_known_args([str(a) for a in args])
+        left_argv = list(left_argv or []) + extra
     left_argv, args.configs = _repair_left_argv(
         list(left_argv or []), list(args.configs))
     if getattr(args, "compile_cache", None):
