@@ -67,6 +67,25 @@ def test_device_metrics_empty_prediction_guard(rng):
     assert float(m["disc_asd"][0]) == 100.0
 
 
+def test_device_hd95_uses_pooled_percentile():
+    """Same medpy-aggregation regression as the host test: a pred box whose
+    surface lies on the gt surface plus a distant gt speck — pooled p95 = 0,
+    max-of-per-direction-p95 > 10 (the pre-fix device path returned the max)."""
+    hw = 64
+    logits = np.full((1, hw, hw), -8.0, np.float32)
+    logits[0, 10:36, 10:36] = 8.0  # pred = 26x26 box (LCC keeps it intact)
+    gt = np.zeros((1, hw, hw), np.float32)
+    gt[0, 10:36, 10:36] = 1.0
+    gt[0, 45:48, 45:48] = 1.0  # + distant speck: >5% of d(gt->pred), <5% pooled
+    m = device_metrics(jnp.asarray(logits), jnp.asarray(logits),
+                       jnp.asarray(gt), jnp.asarray(gt))
+    pred = largest_component_fill_holes_scipy(
+        (1 / (1 + np.exp(-logits[0].astype(np.float64))) > 0.75).astype(np.uint8))
+    want = M.hd95(pred, gt[0] > 0.5)
+    assert want == 0.0  # medpy semantics on this construction
+    np.testing.assert_allclose(float(m["disc_hd"][0]), want, atol=1e-5)
+
+
 @pytest.mark.slow  # trainer build + two validation compiles (~30s); scripts/test.sh --slow
 def test_trainer_fast_validation_flag(tmp_path, rng):
     from wt_pse_tpu.config import default_hparams

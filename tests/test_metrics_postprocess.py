@@ -53,6 +53,25 @@ def test_asd_hd95_properties():
         M.asd(np.zeros((8, 8), bool), a[:8, :8])
 
 
+def test_hd95_is_percentile_of_concatenated_distances():
+    """medpy aggregates hd95 as percentile(hstack(d(a->b), d(b->a)), 95), NOT
+    max of per-direction percentiles. Construct masks where the two differ: a
+    large mostly-exact surface one way plus a few distant voxels the other —
+    max-of-p95 reports the outlier distance, medpy's pooled percentile doesn't
+    (regression: the pre-fix implementation returned the max)."""
+    a = np.zeros((64, 64), bool)
+    a[10:36, 10:36] = True  # 26x26 box: surface 100, all on b's surface
+    b = a.copy()
+    b[45:48, 45:48] = True  # + distant 3x3 speck: 8 px at ~14.9 from a —
+    # >5% of d(b->a)'s 108 values but <5% of the 208-value pool
+    d_ab = M.surface_distances(a, b)
+    d_ba = M.surface_distances(b, a)
+    pooled = np.percentile(np.hstack((d_ab, d_ba)), 95)
+    per_dir_max = max(np.percentile(d_ab, 95), np.percentile(d_ba, 95))
+    assert pooled == 0.0 and per_dir_max > 10.0  # the case discriminates hard
+    np.testing.assert_allclose(M.hd95(a, b), pooled)
+
+
 def test_dice_coeff_2label_single_label_duplicates_channel0():
     a = np.stack([_blob(32, 16, 16, 6), _blob(32, 16, 16, 10)])
     b = np.stack([_blob(32, 16, 18, 6), _blob(32, 16, 18, 10)])

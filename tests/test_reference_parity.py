@@ -305,3 +305,32 @@ def test_predict_matches_reference(ref, nets):
                            method=WTPSE.predict_with_shape)
     np.testing.assert_allclose(
         np.asarray(f_out2), out2.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_export_rename_loads_into_reference(ref, nets):
+    """``export_torch_state_dict`` + ``rename_for_reference`` produce a dict the
+    ACTUAL reference modules load: every exported key exists in the reference
+    state_dict with the identical array, and the only reference keys not
+    covered are BatchNorm ``num_batches_tracked`` counters (torch bookkeeping
+    with no flax counterpart). Since the flax variables were themselves loaded
+    FROM these reference nets, this is a full round-trip value check."""
+    from wt_pse_tpu.io.checkpoint import export_torch_state_dict, rename_for_reference
+
+    r_main, r_stud, _, _, v_main, v_stud = nets
+    for r_net, v in ((r_main, v_main), (r_stud, v_stud)):
+        exported = rename_for_reference(export_torch_state_dict(v))
+        ref_sd = r_net.state_dict()
+        unexpected = set(exported) - set(ref_sd)
+        assert not unexpected, f"keys the reference does not know: {sorted(unexpected)[:8]}"
+        missing = set(ref_sd) - set(exported)
+        assert all(k.endswith("num_batches_tracked") for k in missing), (
+            f"reference keys left uncovered: "
+            f"{sorted(k for k in missing if not k.endswith('num_batches_tracked'))[:8]}")
+        for k, arr in exported.items():
+            np.testing.assert_array_equal(
+                arr, ref_sd[k].numpy(), err_msg=k)
+        # and torch accepts it (strict=False only because of the counters)
+        out = r_net.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(a)) for k, a in exported.items()},
+            strict=False)
+        assert not out.unexpected_keys

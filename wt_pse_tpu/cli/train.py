@@ -200,8 +200,11 @@ def main(args=None, left_argv=None):
             result[key].append(value)
 
     for key in result:
+        # ddof=1 matches the reference's np.std(..., ddof=1) (train.py:174-175)
+        # but is NaN (plus a RuntimeWarning) for a single run — report 0 spread
+        spread = np.std(result[key], ddof=1) if len(result[key]) > 1 else 0.0
         print(f"Domain:{args.datasetTest[0]}",
-              f"{key}:{np.mean(result[key])}+_{np.std(result[key], ddof=1)}")
+              f"{key}:{np.mean(result[key])}+_{spread}")
     return result
 
 

@@ -99,3 +99,45 @@ def export_torch_state_dict(variables: dict) -> dict:
                 arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
             out[f"{key}.{tleaf}" if key else tleaf] = arr
     return out
+
+
+_DC_CHILD = re.compile(
+    r"^(?P<parent>(?:.*\.)?)(?P<child>conv1|bn1|conv2|bn2)\.(?P<leaf>[^.]+)$")
+
+
+def rename_for_reference(state_dict: dict) -> dict:
+    """Rewrite DoubleConv/DoubleConvWT child names into the reference's
+    ``nn.Sequential`` spelling so the dict loads into *actual reference code*:
+    ``conv1/bn1/conv2/bn2 -> double_conv.{0,1,3,4}`` for DoubleConv
+    (``/root/reference/algorithms.py:398-413``) and ``conv1/conv2 ->
+    double_conv.{0,2}`` for DoubleConvWT (``algorithms.py:416-428``) — the
+    inverse of ``torch_import._rewrite_key``.
+
+    Block kinds are inferred from the flat dict itself: ConvD/ConvU spell
+    their convs directly (``algorithms.py:877-962``) and always own a
+    ``conv3`` child, so any parent with ``conv3`` is left untouched; of the
+    rest, a ``bn1`` sibling marks DoubleConv, its absence DoubleConvWT.
+    BatchNorm ``num_batches_tracked`` buffers are not emitted — torch's
+    ``load_state_dict(strict=False)`` and the reference's filtered-partial
+    load pattern (``test_visulization.py:132-197``) both tolerate that.
+    """
+    parents_conv3 = {k[: -len("conv3.weight")] for k in state_dict
+                     if k.endswith("conv3.weight")}
+    parents_bn1 = set()
+    for k in state_dict:
+        m = _DC_CHILD.match(k)
+        if m and m.group("child") == "bn1":
+            parents_bn1.add(m.group("parent"))
+    out = {}
+    for k, v in state_dict.items():
+        m = _DC_CHILD.match(k)
+        if not m or m.group("parent") in parents_conv3:
+            out[k] = v
+            continue
+        parent, child, leaf = m.group("parent"), m.group("child"), m.group("leaf")
+        if child == "conv2":
+            idx = "3" if parent in parents_bn1 else "2"
+        else:
+            idx = {"conv1": "0", "bn1": "1", "bn2": "4"}[child]
+        out[f"{parent}double_conv.{idx}.{leaf}"] = v
+    return out

@@ -8,7 +8,8 @@
   ``mask ^ erosion(mask, cross-structure)``; distances are the Euclidean distance
   transform of the complement of the other mask's surface sampled at surface
   voxels. ``asd(a, b)`` is one-directional (mean over a's surface);
-  ``hd95(a, b) = max(p95(d(a→b)), p95(d(b→a)))``.
+  ``hd95(a, b) = p95(d(a→b) ++ d(b→a))`` — the 95th percentile of the
+*concatenated* bidirectional distance set, exactly as medpy aggregates it.
 
 The empty-prediction guard (reference scores 100 for empty masks,
 ``Trainer.py:221-233``) lives in the eval loop, not here; these functions raise on
@@ -81,10 +82,16 @@ def assd(result: np.ndarray, reference: np.ndarray) -> float:
 
 
 def hd95(result: np.ndarray, reference: np.ndarray) -> float:
-    """95th-percentile Hausdorff distance, medpy ``binary.hd95`` parity."""
-    d1 = np.percentile(surface_distances(result, reference), 95)
-    d2 = np.percentile(surface_distances(reference, result), 95)
-    return float(max(d1, d2))
+    """95th-percentile Hausdorff distance, medpy ``binary.hd95`` parity.
+
+    medpy takes the 95th percentile of the *concatenated* bidirectional
+    distance set — ``np.percentile(np.hstack((d(a→b), d(b→a))), 95)`` — NOT
+    ``max`` of the per-direction percentiles (those differ whenever the two
+    surfaces have different sizes or distance distributions, e.g. a large
+    accurate surface one way and a few distant voxels the other)."""
+    d1 = surface_distances(result, reference)
+    d2 = surface_distances(reference, result)
+    return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
 def dice_coeff_2label(pred: np.ndarray, target: np.ndarray,

@@ -28,12 +28,16 @@ from wt_pse_tpu.train.step import StepConfig, make_train_step
 
 def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
                        mesh: Mesh, domain_num: int, per_domain_batch_global: int,
-                       replicate_ref_quirks: bool = True, axis: str = "data"):
+                       replicate_ref_quirks: bool = True, axis: str = "data",
+                       distill: bool = True):
     """Build ``fn(state, data, key) -> (state, metrics)`` running under shard_map.
 
     ``per_domain_batch_global`` must divide by the mesh size; each device runs the
     local slice and the result is bitwise-identical state on every device
-    (replicated out-specs).
+    (replicated out-specs). ``distill=False`` builds the step for the joint
+    variant (``Unet_nips2023_joint_shape_regularization``: no teacher/student
+    phases 2/4 — the prior trains end-to-end inside the seg phases), matching
+    the knob the single-device Trainer passes to :class:`StepConfig`.
     """
     n_dev = mesh.devices.size
     if per_domain_batch_global % n_dev:
@@ -55,7 +59,7 @@ def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
 
     cfg = StepConfig(hparams, domain_num, pdb_local,
                      replicate_ref_quirks=replicate_ref_quirks,
-                     axis_name=axis, axis_size=n_dev)
+                     axis_name=axis, axis_size=n_dev, distill=distill)
     train_step = make_train_step(main_od, stud_od, main_oc, stud_oc, txs, cfg)
     batch_fn = make_device_batch_fn(pdb_local)
 

@@ -37,26 +37,42 @@ def _surface(m: jax.Array) -> jax.Array:
 
 
 def _surface_stats(pred: jax.Array, gt: jax.Array):
-    """(asd, hd95) per batch item, medpy semantics, empty-pred -> 100."""
+    """(asd, hd95) per batch item, medpy semantics, empty-pred -> 100.
+
+    HD95 is the 95th percentile of the *concatenated* bidirectional distance
+    set (medpy: ``np.percentile(np.hstack((d(p→g), d(g→p))), 95)``) with
+    numpy's default linear interpolation between order statistics — NOT the
+    max of per-direction percentiles (those diverge when the two surfaces
+    differ in size/distribution), and not a ceil-index approximation."""
     sp = _surface(pred)
     sg = _surface(gt)
     dt_g = distance_transform(sg)  # distance to gt surface
     dt_p = distance_transform(sp)
 
-    def one_dir(dt, surf):
-        n = jnp.sum(surf, axis=(1, 2))
-        vals = jnp.where(surf, dt, 0.0)
-        mean = jnp.sum(vals, axis=(1, 2)) / jnp.maximum(n, 1)
-        # p95: sort distances with non-surface pinned to +inf, index ceil(.95(n-1))
-        flat = jnp.where(surf, dt, jnp.inf).reshape(dt.shape[0], -1)
-        srt = jnp.sort(flat, axis=1)
-        idx = jnp.ceil(0.95 * jnp.maximum(n - 1, 0)).astype(jnp.int32)
-        p95 = jnp.take_along_axis(srt, idx[:, None], axis=1)[:, 0]
-        return mean, p95
+    def masked_flat(dt, surf):
+        # distances at surface voxels, non-surface pinned to +inf so a sort
+        # packs the n valid entries first
+        return jnp.where(surf, dt, jnp.inf).reshape(dt.shape[0], -1)
 
-    asd_pg, p95_pg = one_dir(dt_g, sp)
-    _, p95_gp = one_dir(dt_p, sg)
-    hd95 = jnp.maximum(p95_pg, p95_gp)
+    n_p = jnp.sum(sp, axis=(1, 2))
+    n_g = jnp.sum(sg, axis=(1, 2))
+    asd_pg = (jnp.sum(jnp.where(sp, dt_g, 0.0), axis=(1, 2))
+              / jnp.maximum(n_p, 1))
+
+    both = jnp.concatenate([masked_flat(dt_g, sp), masked_flat(dt_p, sg)],
+                           axis=1)
+    srt = jnp.sort(both, axis=1)
+    n = n_p + n_g
+    # numpy-linear percentile: rank r = 0.95*(n-1), value = lerp(srt[⌊r⌋], srt[⌈r⌉])
+    rank = 0.95 * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(rank).astype(jnp.int32)
+    hi = jnp.ceil(rank).astype(jnp.int32)
+    v_lo = jnp.take_along_axis(srt, lo[:, None], axis=1)[:, 0]
+    v_hi = jnp.take_along_axis(srt, hi[:, None], axis=1)[:, 0]
+    frac = rank - lo.astype(jnp.float32)
+    # guard the hi gather against all-inf rows (n == 0): value is replaced by
+    # the empty-mask constant below anyway
+    hd95 = jnp.where(jnp.isfinite(v_hi), v_lo + frac * (v_hi - v_lo), v_lo)
 
     empty = jnp.sum(pred, axis=(1, 2)) < 1
     return (jnp.where(empty, 100.0, asd_pg), jnp.where(empty, 100.0, hd95))

@@ -105,6 +105,20 @@ class Trainer:
 
         self.domain_num = len(train_domains)
         self.per_domain_batch = batch_size // self.domain_num
+        if self.per_domain_batch < 1:
+            # the reference computes the same floor division (Trainer.py:1013)
+            # and crashes later on zero-sized batches; fail clearly up front
+            raise ValueError(
+                f"batch_size={batch_size} gives zero samples per domain for "
+                f"{self.domain_num} train domains; need batch_size >= domain count")
+        if batch_size % self.domain_num:
+            # reference parity: silent floor division (Trainer.py:1013) — the
+            # effective batch is per_domain_batch * domain_num; say so once
+            print(f"[trainer] batch_size {batch_size} is not divisible by "
+                  f"{self.domain_num} domains: effective batch is "
+                  f"{self.per_domain_batch * self.domain_num} "
+                  f"({self.per_domain_batch}/domain, reference floor-division "
+                  "semantics)")
         self.batch_size = batch_size
         total = sum(len(d) for d in train_domains)
         self.iter_per_epoch = max(total // batch_size, 1)
@@ -179,7 +193,6 @@ class Trainer:
             return jax.lax.scan(body, state, jnp.arange(n_steps))
 
         self.epoch_step = jax.jit(epoch, donate_argnums=(0,), static_argnums=(4,))
-        self._batch_fn = batch_fn
 
         def viz_forward(od_vars, oc_vars, data, key):
             """Train-image forward for the every-30-iteration grids
