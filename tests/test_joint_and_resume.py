@@ -60,6 +60,11 @@ def test_joint_algorithm_trains(fundus_root, tmp_path):
     rec = json.loads(lines[0])
     assert np.isfinite(rec["loss_seg"]) and np.isfinite(rec["loss_seg_oc"])
     assert "loss_kd" not in rec  # no distillation phases in the joint variant
+    # per-epoch loss-trace txt files (joint epoch only, Trainer.py:706-720);
+    # the reference never increments these in the joint epoch -> literal 0.0
+    for name in ("ii", "ij", "all_ins", "domain"):
+        trace = open(os.path.join(str(tmp_path / "joint"), f"{name}.txt")).read()
+        assert trace == "0.0\n" * 4, (name, trace)
 
 
 def test_joint_algorithm_with_whitening_trains(fundus_root, tmp_path):

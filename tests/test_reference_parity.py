@@ -307,16 +307,221 @@ def test_predict_matches_reference(ref, nets):
         np.asarray(f_out2), out2.numpy().transpose(0, 2, 3, 1), atol=2e-4)
 
 
-def test_export_rename_loads_into_reference(ref, nets):
+def test_full_iteration_matches_reference(ref, monkeypatch):
+    """One FULL 4-phase training iteration vs the ACTUAL reference sequence.
+
+    Replays ``Trainer.py:762-924`` verbatim on the real ``algorithms.WT_PSE`` /
+    ``shape_networks.ShapeVariationalDist_x`` modules with 4 real
+    ``torch.optim.Adam`` optimizers (``train.py:118-138`` construction), all six
+    N(0,1) draws injected on both sides (teacher ``torch.randn_like`` ×4,
+    student ``torch.normal`` ×2 / ``jax.random.normal`` ×6 in trace order), and
+    asserts the fused TPU step produces the same losses AND the same post-step
+    parameters + BN statistics on all four networks. This closes the last
+    oracle gap: the per-update parity tests above pin the phase math; this pins
+    the *sequencing* — teacher-uses-post-step-#1-weights, teacher BN
+    double-update, detached ROI, pos-weight — against the reference itself
+    rather than the hand-written ``tests/torch_ref`` mirror."""
+    algorithms, shape_networks = ref
+    hp = dict(default_hparams("WT_PSE"))
+    cfg = ModelConfig.from_hparams(hp, n_classes=1)
+
+    # fresh nets (the update tests mutate the module fixture's BN stats)
+    torch.manual_seed(21)
+    t_main = algorithms.WT_PSE(3, 1, hp, "cpu", two_step=False,
+                               per_domain_batch=PDB, source_domain_num=DOMAINS)
+    t_stud = shape_networks.ShapeVariationalDist_x(
+        hp, "cpu", 1, number_source_domain=DOMAINS, batch_size=PDB)
+    t_main_oc = algorithms.WT_PSE(3, 1, hp, "cpu", two_step=True,
+                                  per_domain_batch=PDB, source_domain_num=DOMAINS)
+    t_stud_oc = shape_networks.ShapeVariationalDist_x(
+        hp, "cpu", 1, number_source_domain=DOMAINS, batch_size=PDB)
+
+    f_main, f_stud = WTPSE(cfg), ShapeStudent(cfg)
+    f_main_oc, f_stud_oc = WTPSE(cfg, two_step=True), ShapeStudent(cfg)
+    x0 = jnp.zeros((B, HW, HW, 3), jnp.float32)
+    m0 = jnp.zeros((B, HW, HW, 1), jnp.float32)
+    v_main = _load_flax(f_main, t_main, (x0, m0))
+    v_stud = _load_flax(f_stud, t_stud, (x0,))
+    v_main_oc = _load_flax(f_main_oc, t_main_oc, (x0, m0))
+    v_stud_oc = _load_flax(f_stud_oc, t_stud_oc, (x0,))
+
+    rng = np.random.RandomState(6)
+    img, tgt_od, _ = _inputs(rng)
+    yy, xx = np.mgrid[0:HW, 0:HW]
+    oc = ((yy - 32) ** 2 + (xx - 32) ** 2 < 120).astype(np.float32)
+    tgt_oc = np.tile(oc[None, :, :, None], (B, 1, 1, 1))
+    eps = [rng.randn(B, HW, HW, 1).astype(np.float32) for _ in range(6)]
+    e1, e2t, e2s, e3, e4t, e4s = eps
+
+    # ---- torch side: Trainer.py:762-924 verbatim -------------------------
+    randn_q = [nchw(e) for e in (e1, e2t, e3, e4t)]
+    normal_q = [nchw(e) for e in (e2s, e4s)]
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t, **k: randn_q.pop(0).to(t.dtype))
+    monkeypatch.setattr(torch, "normal",
+                        lambda mu, std: mu + std * normal_q.pop(0).to(mu.dtype))
+    lr = 5e-4
+    opt = torch.optim.Adam(t_main.parameters(), lr=lr, betas=(0.9, 0.99))
+    opt_shape = torch.optim.Adam(t_stud.parameters(), lr=lr, betas=(0.9, 0.99))
+    opt_oc = torch.optim.Adam(t_main_oc.parameters(), lr=lr, betas=(0.9, 0.99))
+    opt_shape_oc = torch.optim.Adam(t_stud_oc.parameters(), lr=lr,
+                                    betas=(0.9, 0.99))
+    for n in (t_main, t_stud, t_main_oc, t_stud_oc):
+        n.train()
+    ti, tod, toc = nchw(img), nchw(tgt_od), nchw(tgt_oc)
+
+    opt.zero_grad()  # Trainer.py:767
+    out, _, _, inst, dom = t_main.update(ti, tod, two_stage_inputs=ti,
+                                         two_step=True)  # Trainer.py:779
+    t_loss_seg = torch.nn.BCELoss()(torch.sigmoid(out), tod)
+    (t_loss_seg + inst + dom).backward()  # instance/domain_wt_gm = 1
+    opt.step()
+
+    opt_shape.zero_grad()  # Trainer.py:813 (multi-turn = 1)
+    kd, inst_tot, _ij, _ii, dom_s = t_stud.update(
+        t_main, ti, tod, two_stage_inputs=ti, two_step=True)
+    (kd + inst_tot + dom_s).backward()
+    opt_shape.step()
+
+    od_pred = (torch.sigmoid(out) > 0.75).float().detach()  # Trainer.py:842
+    roi = (ti + 1) * od_pred - 1
+    opt_oc.zero_grad()
+    out_oc, _, _, inst_oc, dom_oc = t_main_oc.update(
+        roi, toc, two_stage_inputs=roi, two_step=True)
+    w = torch.sum(od_pred) / torch.sum(od_pred * toc)
+    if torch.isinf(w) or torch.isnan(w):
+        w = torch.tensor(1.0)
+    t_loss_oc = torch.nn.functional.binary_cross_entropy_with_logits(
+        out_oc * od_pred, toc, pos_weight=w)
+    (t_loss_oc + inst_oc + dom_oc).backward()
+    opt_oc.step()
+
+    opt_shape_oc.zero_grad()
+    kd_oc, inst_tot_oc, _, _, dom_s_oc = t_stud_oc.update(
+        t_main_oc, roi, toc, two_stage_inputs=roi, two_step=True)
+    (kd_oc + inst_tot_oc + dom_s_oc).backward()
+    opt_shape_oc.step()
+    assert not randn_q and not normal_q  # all draws consumed
+
+    # ---- JAX side: the fused step, eps injected in trace order ----------
+    from wt_pse_tpu.train.state import init_ensemble
+    from wt_pse_tpu.train.step import StepConfig, make_train_step
+
+    state, txs = init_ensemble(f_main, f_stud, f_main_oc, f_stud_oc,
+                               (B, HW, HW, 3), jax.random.PRNGKey(0))
+    rep = lambda net, v: net.replace(
+        params=v["params"], batch_stats=v["batch_stats"])
+    state = state.replace(od=rep(state.od, v_main),
+                          od_shape=rep(state.od_shape, v_stud),
+                          oc=rep(state.oc, v_main_oc),
+                          oc_shape=rep(state.oc_shape, v_stud_oc))
+    # fresh Adam state on the loaded params (same zero-init as torch Adam)
+    state = state.replace(
+        od=state.od.replace(opt_state=txs["od"].init(state.od.params)),
+        od_shape=state.od_shape.replace(
+            opt_state=txs["od_shape"].init(state.od_shape.params)),
+        oc=state.oc.replace(opt_state=txs["oc"].init(state.oc.params)),
+        oc_shape=state.oc_shape.replace(
+            opt_state=txs["oc_shape"].init(state.oc_shape.params)))
+
+    jax_q = [jnp.asarray(e) for e in (e1, e2t, e2s, e3, e4t, e4s)]
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        e = jax_q.pop(0)
+        assert tuple(shape) == e.shape, (shape, e.shape)
+        return e.astype(dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    step = make_train_step(f_main, f_stud, f_main_oc, f_stud_oc, txs,
+                           StepConfig(hp, DOMAINS, PDB,
+                                      replicate_ref_quirks=True))
+    batch = {"image": jnp.asarray(img), "target_od": jnp.asarray(tgt_od),
+             "target_oc": jnp.asarray(tgt_oc)}
+    # eager (unjitted) so the queue pops in python execution order
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert not jax_q  # all six draws consumed
+    monkeypatch.undo()
+
+    # ---- losses --------------------------------------------------------
+    close = lambda a, b, **kw: np.testing.assert_allclose(
+        float(a), float(b.detach()), **kw)
+    close(metrics["loss_seg"], t_loss_seg, rtol=1e-5)
+    close(metrics["loss_ins_wt"], inst, rtol=1e-4)
+    # KD losses run the TEACHER on post-phase-1/3 weights: those weights carry
+    # one Adam step whose f32-noise-gradient elements legitimately differ by
+    # up to ~lr between frameworks, so the KD drift floor is lr-scale, not the
+    # update-level 5e-4 (measured ~1.1e-3 relative on a 0.017 value)
+    close(metrics["loss_kd"], kd, rtol=5e-3, atol=3e-5)
+    close(metrics["loss_ins_wt_shape"], inst_tot, rtol=1e-4)
+    close(metrics["pos_weight_oc"], w, rtol=1e-4)
+    close(metrics["loss_seg_oc"], t_loss_oc, rtol=1e-4)
+    close(metrics["loss_kd_oc"], kd_oc, rtol=5e-3, atol=3e-5)
+    close(metrics["loss_ins_wt_oc"], inst_oc, rtol=1e-4)
+    # MMD residuals are cancellation-dominated (see update tests)
+    close(metrics["loss_dom_wt"], dom, rtol=0.05, atol=1e-7)
+    close(metrics["loss_dom_wt_oc"], dom_oc, rtol=0.05, atol=1e-7)
+
+    # ---- post-iteration state, all four nets -----------------------------
+    # Tolerances as in test_step_torch_parity: Adam's first step is
+    # ~ +-lr*sign(grad), so f32-noise-level grads can disagree by up to 2*lr
+    # elementwise; the bulk must agree tightly. BN stats are plain statistics,
+    # but the OC side sits behind a hard sigmoid>0.75 threshold whose
+    # borderline pixels legitimately flip at f32 noise.
+    pairs = ((t_main, new_state.od), (t_stud, new_state.od_shape),
+             (t_main_oc, new_state.oc), (t_stud_oc, new_state.oc_shape))
+    for tnet, jnet in pairs:
+        conv = convert_state_dict(tnet.state_dict())
+        want, matched = load_into_variables(
+            {"params": jnet.params, "batch_stats": jnet.batch_stats}, conv)
+        assert len(matched) > 100
+        pdiffs = [np.abs(np.asarray(g) - np.asarray(v)).ravel()
+                  for g, v in zip(jax.tree.leaves(jnet.params),
+                                  jax.tree.leaves(want["params"]))]
+        assert max(d.max() for d in pdiffs) <= 2.2 * lr
+        # Adam's FIRST step is exactly +-lr*sign(grad) for every element, so
+        # the mean diff measures gradient-sign agreement: elements whose true
+        # gradient sits at f32-conv-noise level flip sign between frameworks
+        # and land at 2*lr. The student nets' KD gradients (loss ~0.017 behind
+        # two U-Nets) have a larger tiny-|grad| population than the seg nets,
+        # so the bulk bound is looser than test_step_torch_parity's seg-only
+        # 6e-5 (measured 1.1e-4 here; bound 2e-4 = ~20% flip headroom)
+        assert np.concatenate(pdiffs).mean() <= 2e-4
+        sdiffs = [np.abs(np.asarray(g) - np.asarray(v)).ravel()
+                  for g, v in zip(jax.tree.leaves(jnet.batch_stats),
+                                  jax.tree.leaves(want["batch_stats"]))]
+        # worst-case 5e-3: beyond the ROI threshold flips, the OC-side teacher
+        # BN double-update runs on post-Adam-step weights (lr-noise different
+        # between frameworks), so isolated running-var entries drift a bit
+        # further than in the pre-step update tests (measured 3.0e-3)
+        assert max(d.max() for d in sdiffs) <= 5e-3
+        assert np.concatenate(sdiffs).mean() <= 2e-4
+
+
+def test_export_rename_loads_into_reference(ref):
     """``export_torch_state_dict`` + ``rename_for_reference`` produce a dict the
     ACTUAL reference modules load: every exported key exists in the reference
     state_dict with the identical array, and the only reference keys not
     covered are BatchNorm ``num_batches_tracked`` counters (torch bookkeeping
     with no flax counterpart). Since the flax variables were themselves loaded
-    FROM these reference nets, this is a full round-trip value check."""
+    FROM these reference nets, this is a full round-trip value check.
+
+    Fresh nets (not the ``nets`` fixture): the update tests mutate the
+    fixture's torch BN running stats in-place, which the fixture's Flax
+    variables are deliberate snapshots of the *initial* state."""
     from wt_pse_tpu.io.checkpoint import export_torch_state_dict, rename_for_reference
 
-    r_main, r_stud, _, _, v_main, v_stud = nets
+    algorithms, shape_networks = ref
+    hp = dict(default_hparams("WT_PSE"))
+    cfg = ModelConfig.from_hparams(hp, n_classes=1)
+    torch.manual_seed(17)
+    r_main = algorithms.WT_PSE(3, 1, hp, "cpu", two_step=False,
+                               per_domain_batch=PDB, source_domain_num=DOMAINS)
+    r_stud = shape_networks.ShapeVariationalDist_x(
+        hp, "cpu", 1, number_source_domain=DOMAINS, batch_size=PDB)
+    x0 = jnp.zeros((B, HW, HW, 3), jnp.float32)
+    m0 = jnp.zeros((B, HW, HW, 1), jnp.float32)
+    v_main = _load_flax(WTPSE(cfg), r_main, (x0, m0))
+    v_stud = _load_flax(ShapeStudent(cfg), r_stud, (x0,))
     for r_net, v in ((r_main, v_main), (r_stud, v_stud)):
         exported = rename_for_reference(export_torch_state_dict(v))
         ref_sd = r_net.state_dict()

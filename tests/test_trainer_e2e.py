@@ -203,3 +203,29 @@ def test_validation_gate_epoch_le_2(fundus_root, tmp_path):
     )
     best = trainer.train()
     assert best == [0.0] * 6
+
+
+def test_trainer_lr_schedule_wiring(fundus_root, tmp_path):
+    """Trainer(lr_schedule=...) wires reference_lr_schedule into all four
+    optimizers (od-lr drives od+od_shape, oc-lr drives oc+oc_shape,
+    Trainer.py:996-1004) and the schedule traces into the fused step."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        hparams=default_hparams("WT_PSE"),
+        train_domains=[load_fundus(fundus_root, "train", [i], size=SIZE)
+                       for i in (1, 2, 4)],
+        val_domain=load_fundus(fundus_root, "test", [3], state="prediction", size=SIZE),
+        out_dir=str(tmp_path / "runlr"),
+        label="OD", batch_size=3, max_epoch=2, interval_validate=4, seed=1,
+        image_size=SIZE, lr_od=1e-3,
+        lr_schedule=dict(warmup_steps=4, warmup_factor=0.25, gamma=0.1,
+                         milestones=[10]),
+    )
+    # epoch-0 lr is warmup_factor * base; one epoch later it has warmed up
+    lr0 = float(trainer._lr_fn(0))
+    lr1 = float(trainer._lr_fn(trainer.iter_per_epoch))
+    assert lr0 == pytest.approx(0.25e-3)
+    assert lr1 > lr0
+    trainer.train()  # 2 epochs run under the scheduled optimizers
+    assert os.path.exists(os.path.join(str(tmp_path / "runlr"), "log.csv"))

@@ -54,6 +54,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--running_times", type=int, default=3)
+    p.add_argument("--lr-schedule", action="store_true",
+                   help="enable the linear-warmup + milestone-step-decay lr "
+                        "schedule (the reference defines this as "
+                        "Trainer.lr_update, Trainer.py:989-1004, but ships "
+                        "with the call commented out, Trainer.py:1040 — "
+                        "constant lr is the parity default) "
+                        "[addition over the reference flag surface]")
+    p.add_argument("--lr-warmup-epochs", type=int, default=10,
+                   help="lr_update warmup_steps (epochs of linear warmup)")
+    p.add_argument("--lr-warmup-factor", type=float, default=1.0 / 3.0,
+                   help="lr_update warmup_factor (initial lr multiplier)")
+    p.add_argument("--lr-gamma", type=float, default=0.1,
+                   help="lr_update gamma (decay per passed milestone)")
+    p.add_argument("--lr-milestones", nargs="*", type=int, default=[],
+                   help="lr_update Steps: epoch indices at which lr decays "
+                        "by --lr-gamma (bisect_right semantics)")
+    p.add_argument("--lr-clamp-warmup", action="store_true",
+                   help="clamp the warmup factor at 1 after warmup (the "
+                        "reference formula keeps growing it linearly — "
+                        "replicated by default; see train/lr.py)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard event files under out/tensorboard "
                         "(the reference always does; opt-in here) "
@@ -194,6 +214,12 @@ def main(args=None, left_argv=None):
             train_viz_interval=args.train_viz_interval,
             fast_validation=args.fast_validation,
             nan_recovery=args.nan_recovery,
+            lr_schedule=(dict(warmup_steps=args.lr_warmup_epochs,
+                              warmup_factor=args.lr_warmup_factor,
+                              gamma=args.lr_gamma,
+                              milestones=args.lr_milestones,
+                              clamp_warmup=args.lr_clamp_warmup)
+                         if args.lr_schedule else None),
         )
         best = trainer.train()
         for key, value in zip(result.keys(), best):

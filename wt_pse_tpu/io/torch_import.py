@@ -60,7 +60,12 @@ def convert_state_dict(state_dict: dict) -> dict:
         node[leaf] = value
 
     for key, value in state_dict.items():
-        arr = np.asarray(getattr(value, "numpy", lambda: value)(), dtype=np.float32)
+        # copy=True: torch .numpy() returns a VIEW of the live parameter
+        # memory, and jnp.asarray on the CPU backend can alias numpy buffers —
+        # without the copy, a later in-place torch optimizer step would mutate
+        # the "imported" arrays behind JAX's back
+        arr = np.array(getattr(value, "numpy", lambda: value)(),
+                       dtype=np.float32, copy=True)
         new_key = _rewrite_key(key)
         if new_key is None:
             continue

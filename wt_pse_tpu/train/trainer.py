@@ -93,6 +93,7 @@ class Trainer:
         per_step_logging: bool = False,
         train_visualization: bool = False,
         train_viz_interval: int = 30,
+        lr_schedule: dict | None = None,
     ):
         self.hparams = dict(hparams)
         self.label = label
@@ -157,6 +158,22 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.init_key, self.run_key = jax.random.split(key)
         img_shape = (batch_size, image_size, image_size, 3)
+        self._lr_fn = None
+        if lr_schedule is not None:
+            # opt-in wiring of the reference's DISABLED lr_update helper
+            # (Trainer.py:989-1004, call commented out at 1040). The schedule
+            # is a pure function of the optax update count, so it traces into
+            # the fused step — no per-epoch optimizer rebuilds. dict keys:
+            # warmup_steps / warmup_factor / gamma / milestones / clamp_warmup
+            # (see train/lr.py). The reference applies ONE od-lr to the od+shape
+            # optimizers and one oc-lr to oc+shape_oc (Trainer.py:996-1004).
+            from wt_pse_tpu.train.lr import reference_lr_schedule
+
+            mk = lambda base: reference_lr_schedule(
+                base, self.iter_per_epoch, **lr_schedule)
+            lr_od, lr_od_shape = mk(lr_od), mk(lr_od)
+            lr_oc, lr_oc_shape = mk(lr_oc), mk(lr_oc)
+            self._lr_fn = lr_od
         self.state, self.txs = init_ensemble(
             self.main_od, self.stud_od, self.main_oc, self.stud_oc, img_shape,
             self.init_key, lr_od, lr_od_shape, lr_oc, lr_oc_shape)
@@ -480,8 +497,24 @@ class Trainer:
                 stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
                 metrics = {k: float(v) for k, v in zip(names, stacked)}
             self.logger.scalars(epoch, metrics)
+            if self.algorithm == "Unet_nips2023_joint_shape_regularization":
+                # per-epoch loss-trace txt files, joint-epoch parity
+                # (Trainer.py:706-720). The reference zeroes these accumulators
+                # but never increments them in the joint epoch (increments live
+                # only in the WT_PSE train_epoch, Trainer.py:829-832), so it
+                # appends literal 0.0 each epoch; metrics.get(...) reproduces
+                # that exactly (the joint step emits no *_shape keys) while
+                # recording the real means if a future variant does.
+                self.logger.loss_trace({
+                    "ii": metrics.get("loss_ins_wt_shape_ii", 0.0),
+                    "ij": metrics.get("loss_ins_wt_shape_ij", 0.0),
+                    "all_ins": metrics.get("loss_ins_wt_shape", 0.0),
+                    "domain": metrics.get("loss_dom_wt_shape", 0.0),
+                })
+            lr_now = (float(self._lr_fn(epoch * self.iter_per_epoch))
+                      if self._lr_fn else self.lr_od)  # get_lr parity
             self.logger.epoch_summary(
-                epoch, self.lr_od, metrics.get("loss_seg_oc", 0.0),
+                epoch, lr_now, metrics.get("loss_seg_oc", 0.0),
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
                 metrics.get("loss_dom_wt_oc", 0.0), time.time() - t0)
             if not np.isfinite(metrics.get("loss_seg", 0.0)):

@@ -120,6 +120,14 @@ class RunLogger:
         if self.tb is not None:
             self.tb.add_image(tag, arr, step, dataformats="HWC")
 
+    def loss_trace(self, values: dict):
+        """Per-epoch loss-trace txt files, joint-epoch parity
+        (Trainer.py:706-720): one ``<name>.txt`` per key, one appended line per
+        epoch, ``'{}\\n'.format(value)`` spelling (so 0.0 prints as ``0.0``)."""
+        for name, v in values.items():
+            with open(os.path.join(self.out, f"{name}.txt"), "a") as f:
+                f.write("{}\n".format(v))
+
     def best_score(self, val: dict):
         """score.txt appended on each new best (Trainer.py:279-281 format)."""
         with open(os.path.join(self.out, "score.txt"), "a") as f:
