@@ -67,6 +67,22 @@ def test_device_metrics_empty_prediction_guard(rng):
     assert float(m["disc_asd"][0]) == 100.0
 
 
+def test_device_metrics_empty_gt_guard(rng):
+    """Empty GROUND TRUTH with a nonempty prediction: every distance to the gt
+    surface is +inf (EDT of an empty mask) — the guard must return the 100.0
+    sentinel, not let inf poison the domain means (the host path raises and
+    medpy crashes on this input; this sync-free path degrades gracefully)."""
+    hw = 32
+    logits = np.full((1, hw, hw), -8.0, np.float32)
+    logits[0][_blob(hw, 16, 16, 6)] = 8.0  # nonempty prediction
+    empty_gt = np.zeros((1, hw, hw), np.float32)
+    m = device_metrics(jnp.asarray(logits), jnp.asarray(logits),
+                       jnp.asarray(empty_gt), jnp.asarray(empty_gt))
+    for k in ("disc_hd", "disc_asd", "cup_hd", "cup_asd"):
+        v = float(m[k][0])
+        assert np.isfinite(v) and v == 100.0, (k, v)
+
+
 def test_device_hd95_uses_pooled_percentile():
     """Same medpy-aggregation regression as the host test: a pred box whose
     surface lies on the gt surface plus a distant gt speck — pooled p95 = 0,

@@ -222,10 +222,14 @@ def test_trainer_lr_schedule_wiring(fundus_root, tmp_path):
         lr_schedule=dict(warmup_steps=4, warmup_factor=0.25, gamma=0.1,
                          milestones=[10]),
     )
-    # epoch-0 lr is warmup_factor * base; one epoch later it has warmed up
-    lr0 = float(trainer._lr_fn(0))
-    lr1 = float(trainer._lr_fn(trainer.iter_per_epoch))
-    assert lr0 == pytest.approx(0.25e-3)
-    assert lr1 > lr0
+    # reference call-site timing (Trainer.py:1040: lr_update runs AFTER the
+    # epoch): epoch 0 trains at the constructor lr, epoch 1 at the formula's
+    # epoch-0 value (warmup_factor * base), epoch 2 warmer than epoch 1
+    from wt_pse_tpu.train.lr import reference_lr_value
+
+    lr = lambda e: reference_lr_value(1e-3, e, **trainer._lr_kwargs)
+    assert lr(0) == pytest.approx(1e-3)
+    assert lr(1) == pytest.approx(0.25e-3)
+    assert lr(1) < lr(2)
     trainer.train()  # 2 epochs run under the scheduled optimizers
     assert os.path.exists(os.path.join(str(tmp_path / "runlr"), "log.csv"))

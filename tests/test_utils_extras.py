@@ -1,21 +1,25 @@
-"""Tests for train/schedule.py and utils/visualization.py + RunLogger images.
+"""Tests for the lr formula golden values and utils/visualization.py + RunLogger
+images.
 
 Schedule golden values come from evaluating the reference formula
-(/root/reference/Trainer.py:989-1004) by hand.
+(/root/reference/Trainer.py:989-1004) by hand, at the reference call site's
+own constants (Trainer.py:1017-1022).
 """
 
 import numpy as np
 
-from wt_pse_tpu.train.schedule import as_optax_schedule, reference_lr_schedule
+from wt_pse_tpu.train.lr import reference_lr_kwargs, reference_lr_value
 from wt_pse_tpu.utils.logging import RunLogger
 from wt_pse_tpu.utils.visualization import (
     joint_val_image, mask_boundary, overlay_contours, save_per_img,
     save_val_img, untransform)
 
 
-def test_reference_lr_schedule_formula():
+def test_reference_lr_formula_golden():
     base, max_epoch = 1e-3, 200
-    fn = reference_lr_schedule(base, max_epoch)
+    kw = reference_lr_kwargs(max_epoch)
+    # applied_after_epoch=False isolates the bare lr_update formula f(e)
+    fn = lambda e: reference_lr_value(base, e, applied_after_epoch=False, **kw)
     # epoch 0: pure warmup factor
     assert np.isclose(fn(0), base * 0.001)
     # mid-warmup: alpha = e / (2*max_epoch)
@@ -27,17 +31,9 @@ def test_reference_lr_schedule_formula():
     assert np.isclose(fn(100), base * (0.001 * (1 - a100) + a100) * 0.5)
     a160 = 160 / 400
     assert np.isclose(fn(160), base * (0.001 * (1 - a160) + a160) * 0.25)
-
-
-def test_optax_schedule_matches_per_epoch():
-    import jax.numpy as jnp
-
-    sched = as_optax_schedule(1e-3, 10, iters_per_epoch=7)
-    per_epoch = reference_lr_schedule(1e-3, 10)
-    for step in [0, 6, 7, 35, 69, 70, 1000]:
-        epoch = min(step // 7, 10)
-        assert np.isclose(float(sched(jnp.asarray(step))), per_epoch(epoch),
-                          rtol=1e-6), step
+    # the after-the-epoch call site shifts everything one epoch late
+    assert np.isclose(reference_lr_value(base, 101, **kw), fn(100))
+    assert np.isclose(reference_lr_value(base, 0, **kw), base)
 
 
 def test_untransform_roundtrip():

@@ -61,15 +61,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "with the call commented out, Trainer.py:1040 — "
                         "constant lr is the parity default) "
                         "[addition over the reference flag surface]")
-    p.add_argument("--lr-warmup-epochs", type=int, default=10,
-                   help="lr_update warmup_steps (epochs of linear warmup)")
-    p.add_argument("--lr-warmup-factor", type=float, default=1.0 / 3.0,
-                   help="lr_update warmup_factor (initial lr multiplier)")
-    p.add_argument("--lr-gamma", type=float, default=0.1,
-                   help="lr_update gamma (decay per passed milestone)")
-    p.add_argument("--lr-milestones", nargs="*", type=int, default=[],
+    p.add_argument("--lr-warmup-epochs", type=int, default=None,
+                   help="lr_update warmup_steps (epochs of linear warmup); "
+                        "default: the reference call site's max_epoch * 2 "
+                        "(Trainer.py:1020)")
+    p.add_argument("--lr-warmup-factor", type=float, default=None,
+                   help="lr_update warmup_factor (initial lr multiplier); "
+                        "default 0.001 (Trainer.py:1017)")
+    p.add_argument("--lr-gamma", type=float, default=None,
+                   help="lr_update gamma (decay per passed milestone); "
+                        "default 0.5 (Trainer.py:1019)")
+    p.add_argument("--lr-milestones", nargs="*", type=int, default=None,
                    help="lr_update Steps: epoch indices at which lr decays "
-                        "by --lr-gamma (bisect_right semantics)")
+                        "by --lr-gamma (bisect_right semantics); default "
+                        "100 150 (Trainer.py:1018)")
     p.add_argument("--lr-clamp-warmup", action="store_true",
                    help="clamp the warmup factor at 1 after warmup (the "
                         "reference formula keeps growing it linearly — "

@@ -74,7 +74,13 @@ def _surface_stats(pred: jax.Array, gt: jax.Array):
     # the empty-mask constant below anyway
     hd95 = jnp.where(jnp.isfinite(v_hi), v_lo + frac * (v_hi - v_lo), v_lo)
 
-    empty = jnp.sum(pred, axis=(1, 2)) < 1
+    # empty PRED -> 100 is reference parity (Trainer.py:221-233). An empty GT
+    # would make every dt_g entry +inf (distance_transform of an empty mask)
+    # and silently poison the domain means with inf — the host path raises and
+    # medpy crashes there; this sync-free path applies the same 100.0 sentinel
+    # instead so one degenerate resized label can't wipe out model selection.
+    empty = ((jnp.sum(pred, axis=(1, 2)) < 1)
+             | (jnp.sum(gt, axis=(1, 2)) < 1))
     return (jnp.where(empty, 100.0, asd_pg), jnp.where(empty, 100.0, hd95))
 
 

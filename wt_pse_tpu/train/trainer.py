@@ -158,25 +158,42 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.init_key, self.run_key = jax.random.split(key)
         img_shape = (batch_size, image_size, image_size, 3)
-        self._lr_fn = None
+        self._lr_kwargs = None
         if lr_schedule is not None:
             # opt-in wiring of the reference's DISABLED lr_update helper
             # (Trainer.py:989-1004, call commented out at 1040). The schedule
             # is a pure function of the optax update count, so it traces into
             # the fused step — no per-epoch optimizer rebuilds. dict keys:
             # warmup_steps / warmup_factor / gamma / milestones / clamp_warmup
-            # (see train/lr.py). The reference applies ONE od-lr to the od+shape
-            # optimizers and one oc-lr to oc+shape_oc (Trainer.py:996-1004).
-            from wt_pse_tpu.train.lr import reference_lr_schedule
+            # (see train/lr.py); unset keys fall back to the reference call
+            # site's own argument block (Trainer.py:1017-1022, incl.
+            # warmup_steps = max_epoch * 2). The reference applies ONE od-lr to
+            # the od+shape optimizers and one oc-lr to oc+shape_oc
+            # (Trainer.py:996-1004) — but only from epoch 1 on (the call sits
+            # after train_epoch), so epoch 0 keeps each optimizer's
+            # constructor lr, including the separate lr_od_shape/lr_oc_shape.
+            from wt_pse_tpu.train.lr import (reference_lr_kwargs,
+                                             reference_lr_schedule)
 
-            mk = lambda base: reference_lr_schedule(
-                base, self.iter_per_epoch, **lr_schedule)
-            lr_od, lr_od_shape = mk(lr_od), mk(lr_od)
-            lr_oc, lr_oc_shape = mk(lr_oc), mk(lr_oc)
-            self._lr_fn = lr_od
+            kw = dict(reference_lr_kwargs(max_epoch))
+            kw.update({k: v for k, v in lr_schedule.items() if v is not None})
+            self._lr_kwargs = kw
+            # the shape students advance hparams['multi-turn'] optax counts
+            # per training iteration (step.py::_shape_phase loop), the seg
+            # optimizers one — divide accordingly to recover the epoch index
+            multi_turn = int(self.hparams.get("multi-turn", 1))
+            mk = lambda base, per_epoch, ctor: reference_lr_schedule(
+                base, per_epoch, first_epoch_lr=ctor, **kw)
+            it, it_sh = self.iter_per_epoch, self.iter_per_epoch * multi_turn
+            # keep the incoming float lrs unbound (self.lr_od below must stay
+            # the scalar base lr for host-side logging)
+            tx_lrs = (mk(lr_od, it, lr_od), mk(lr_od, it_sh, lr_od_shape),
+                      mk(lr_oc, it, lr_oc), mk(lr_oc, it_sh, lr_oc_shape))
+        else:
+            tx_lrs = (lr_od, lr_od_shape, lr_oc, lr_oc_shape)
         self.state, self.txs = init_ensemble(
             self.main_od, self.stud_od, self.main_oc, self.stud_oc, img_shape,
-            self.init_key, lr_od, lr_od_shape, lr_oc, lr_oc_shape)
+            self.init_key, *tx_lrs)
 
         self.data = stack_domains(train_domains)
         step_cfg = StepConfig(
@@ -304,6 +321,7 @@ class Trainer:
         self.best_list = [0.0] * 6
         self.epoch = 0
         self.lr_od = lr_od
+        self.lr_od_shape = lr_od_shape
         # observability / resilience (new capability; the reference has
         # wall-clock prints and fail-fast NaN raises only, SURVEY.md §5)
         self.profile_dir = profile_dir
@@ -496,7 +514,23 @@ class Trainer:
                 names = sorted(metrics)
                 stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
                 metrics = {k: float(v) for k, v in zip(names, stacked)}
-            self.logger.scalars(epoch, metrics)
+            if self._lr_kwargs is not None:
+                # get_lr(self.optim) parity: the lr USED during this epoch
+                # (the reference's per-epoch 'lr'/'lr_shape' tensorboard
+                # scalars at Trainer.py:1043-1044 read the optimizer state
+                # after the (commented) after-the-epoch lr_update). Host math —
+                # evaluating the jnp schedule eagerly costs device round-trips.
+                from wt_pse_tpu.train.lr import reference_lr_value
+
+                lr_now = reference_lr_value(self.lr_od, epoch,
+                                            **self._lr_kwargs)
+                lr_shape_now = reference_lr_value(
+                    self.lr_od, epoch, first_epoch_lr=self.lr_od_shape,
+                    **self._lr_kwargs)
+            else:
+                lr_now, lr_shape_now = self.lr_od, self.lr_od_shape
+            self.logger.scalars(
+                epoch, dict(metrics, lr=lr_now, lr_shape=lr_shape_now))
             if self.algorithm == "Unet_nips2023_joint_shape_regularization":
                 # per-epoch loss-trace txt files, joint-epoch parity
                 # (Trainer.py:706-720). The reference zeroes these accumulators
@@ -511,8 +545,6 @@ class Trainer:
                     "all_ins": metrics.get("loss_ins_wt_shape", 0.0),
                     "domain": metrics.get("loss_dom_wt_shape", 0.0),
                 })
-            lr_now = (float(self._lr_fn(epoch * self.iter_per_epoch))
-                      if self._lr_fn else self.lr_od)  # get_lr parity
             self.logger.epoch_summary(
                 epoch, lr_now, metrics.get("loss_seg_oc", 0.0),
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
