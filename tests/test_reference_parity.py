@@ -76,6 +76,65 @@ def nchw(x):
     return torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
 
 
+def dom_mmd64(feats_nhwc):
+    """f64 numpy replay of the domain-MMD term (``algorithms.py:59-121`` +
+    the sum-first-2-maps-divide-by-3 quirk at ``algorithms.py:1256-1267``).
+
+    Why this exists: the MMD is ``kxx + kyy - 2*kxy`` — three kernel means of
+    O(0.1-1) cancelling to an O(1e-6) residual, so ~5 of the 7 f32 digits are
+    gone before any cross-framework comparison can happen. Comparing the f32
+    losses directly is ill-posed (round 3 shipped with that comparison flaky
+    at the noise floor). The well-posed test: both frameworks' f32 *feature
+    maps* (which agree to conv-noise, no cancellation) feed this single f64
+    pipeline, and the f64 residuals are compared tightly; each framework's f32
+    loss is then only required to sit within the f32 rounding floor of its own
+    f64 truth.
+    """
+    total = 0.0
+    for z in feats_nhwc[: len(feats_nhwc) - 1]:
+        b, h, w, c = z.shape
+        f = z.reshape(b, h * w, c).astype(np.float64)
+        cov = np.einsum("bpc,bpd->bcd", f, f) / (h * w - 1)
+        cov = cov + 1e-5 * np.eye(c)
+        iu, ju = np.triu_indices(c, k=1)
+        vec = cov[:, iu, ju]
+        blocks = [vec[i * PDB : (i + 1) * PDB] for i in range(DOMAINS)]
+
+        def kmean(a, b_):
+            d = ((a[:, None, :] - b_[None, :, :]) ** 2).sum(-1)
+            return np.exp(-np.maximum(d, 1e-30)).mean()
+
+        pen = 0.0
+        for i in range(DOMAINS):
+            for j in range(i + 1, DOMAINS):
+                x, y = blocks[i], blocks[j]
+                pen += kmean(x, x) + kmean(y, y) - 2 * kmean(x, y)
+        total += pen / (DOMAINS * (DOMAINS - 1) / 2)
+    return total / len(feats_nhwc)
+
+
+def torch_wt_feats(net, inputs):
+    """The WT feature maps a reference ``update`` consumed: ``DeepWT`` is
+    conv-relu-conv with NO norm layers (``algorithms.py:416-428,1080-1117``),
+    so a fresh forward on un-stepped params reproduces them exactly."""
+    with torch.no_grad():
+        return [t.numpy().transpose(0, 2, 3, 1) for t in net.wt_model.forward(inputs)]
+
+
+def assert_domain_mmd_matches(torch_feats, jax_feats, dom_torch_f32, dom_jax_f32,
+                              rtol64=0.02, atol32=2e-6):
+    """Three-way well-posed MMD check (see ``dom_mmd64``): tight f64
+    cross-framework agreement + each f32 value within the rounding floor of
+    its own f64 truth. ``rtol64`` covers linear (non-cancelling) propagation
+    of f32 conv noise through the f64 pipeline; ``atol32`` is the measured
+    f32 accumulation floor of three O(1) kernel means (~2-5e-7, bounded 4x)."""
+    d64_t = dom_mmd64(torch_feats)
+    d64_j = dom_mmd64(jax_feats)
+    np.testing.assert_allclose(d64_j, d64_t, rtol=rtol64)
+    np.testing.assert_allclose(float(dom_jax_f32), d64_j, atol=atol32)
+    np.testing.assert_allclose(float(dom_torch_f32.detach()), d64_t, atol=atol32)
+
+
 def _inputs(rng):
     img = rng.rand(B, HW, HW, 3).astype(np.float32) * 2 - 1
     yy, xx = np.mgrid[0:HW, 0:HW]
@@ -136,10 +195,10 @@ def test_wtpse_update_matches_reference(ref, nets, monkeypatch):
     ref_out = out.detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(f_out), ref_out, atol=2e-4)
     np.testing.assert_allclose(float(f_inst), float(inst.detach()), rtol=1e-4)
-    # the MMD is kxx+kyy-2kxy — near-equal O(0.1-1) kernel means cancelling to
-    # an O(1e-6) residual, so ~5 of its 7 f32 digits are gone before comparison;
-    # a few % relative slack on the residual is f32 noise, not semantics
-    np.testing.assert_allclose(float(f_dom), float(dom.detach()), rtol=0.05, atol=1e-7)
+    # well-posed MMD comparison in f64 from both sides' features (dom_mmd64)
+    assert_domain_mmd_matches(torch_wt_feats(r_main, nchw(img)),
+                              [np.asarray(z) for z in wt_feats],
+                              dom.detach(), f_dom)
     # the attention mask is a hard threshold — borderline pixels may flip at
     # f32 noise; demand near-total agreement rather than bitwise equality
     ref_att = att_mask.detach().numpy().transpose(0, 2, 3, 1)
@@ -182,8 +241,11 @@ def test_student_update_matches_reference(ref, nets, monkeypatch):
     np.testing.assert_allclose(float(f_off), float(inst_off.detach()), rtol=1e-4)
     np.testing.assert_allclose(float(f_diag), float(inst_diag.detach()), rtol=1e-4)
     np.testing.assert_allclose(float(f_total), float(inst_total.detach()), rtol=1e-4)
-    # cancellation-dominated residual, see test_wtpse_update_matches_reference
-    np.testing.assert_allclose(float(f_dom), float(dom.detach()), rtol=0.05, atol=1e-7)
+    # well-posed MMD comparison in f64 (student's own wt_model features:
+    # shape_networks.py:517 whiting_outputs2)
+    assert_domain_mmd_matches(torch_wt_feats(r_stud, nchw(img)),
+                              [np.asarray(z) for z in wt_feats],
+                              dom.detach(), f_dom)
 
 
 def test_joint_update_whitening_matches_reference(ref, monkeypatch):
@@ -244,8 +306,10 @@ def test_joint_update_whitening_matches_reference(ref, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(f_out), out.detach().numpy().transpose(0, 2, 3, 1), atol=2e-4)
     np.testing.assert_allclose(float(f_inst), float(inst.detach()), rtol=1e-4)
-    # cancellation-dominated residual, see test_wtpse_update_matches_reference
-    np.testing.assert_allclose(float(f_dom), float(dom.detach()), rtol=0.05, atol=1e-7)
+    # well-posed MMD comparison in f64 from both sides' features (dom_mmd64)
+    assert_domain_mmd_matches(torch_wt_feats(r_joint, nchw(img)),
+                              [np.asarray(z) for z in wt_feats],
+                              dom.detach(), f_dom)
     ref_att = att_mask.detach().numpy().transpose(0, 2, 3, 1)
     assert np.mean(np.asarray(f_att_mask) != ref_att) < 1e-3
 
@@ -374,6 +438,8 @@ def test_full_iteration_matches_reference(ref, monkeypatch):
     out, _, _, inst, dom = t_main.update(ti, tod, two_stage_inputs=ti,
                                          two_step=True)  # Trainer.py:779
     t_loss_seg = torch.nn.BCELoss()(torch.sigmoid(out), tod)
+    # feature capture for the f64 MMD cross-check must precede the Adam step
+    t_feats_1 = torch_wt_feats(t_main, ti)
     (t_loss_seg + inst + dom).backward()  # instance/domain_wt_gm = 1
     opt.step()
 
@@ -393,6 +459,7 @@ def test_full_iteration_matches_reference(ref, monkeypatch):
         w = torch.tensor(1.0)
     t_loss_oc = torch.nn.functional.binary_cross_entropy_with_logits(
         out_oc * od_pred, toc, pos_weight=w)
+    t_feats_3 = torch_wt_feats(t_main_oc, roi)
     (t_loss_oc + inst_oc + dom_oc).backward()
     opt_oc.step()
 
@@ -457,9 +524,25 @@ def test_full_iteration_matches_reference(ref, monkeypatch):
     close(metrics["loss_seg_oc"], t_loss_oc, rtol=1e-4)
     close(metrics["loss_kd_oc"], kd_oc, rtol=5e-3, atol=3e-5)
     close(metrics["loss_ins_wt_oc"], inst_oc, rtol=1e-4)
-    # MMD residuals are cancellation-dominated (see update tests)
-    close(metrics["loss_dom_wt"], dom, rtol=0.05, atol=1e-7)
-    close(metrics["loss_dom_wt_oc"], dom_oc, rtol=0.05, atol=1e-7)
+    # MMD residuals are cancellation-dominated: compare well-posed, in f64
+    # from each side's own f32 features (dom_mmd64). The JAX phase-1/3
+    # forwards are replayed eagerly on the pre-step variables — bit-identical
+    # to what the (unjitted) step consumed, since DeepWT has no BN state.
+    (f_out1, _, wt1), _ = f_main.apply(
+        v_main, jnp.asarray(img), jnp.asarray(tgt_od), jnp.asarray(img), True,
+        eps=jnp.asarray(e1), mutable=["batch_stats"])
+    assert_domain_mmd_matches(t_feats_1, [np.asarray(z) for z in wt1],
+                              dom, metrics["loss_dom_wt"])
+    roi_j = (jnp.asarray(img) + 1.0) * (
+        jax.nn.sigmoid(f_out1) > 0.75).astype(jnp.float32) - 1.0
+    # ROI threshold flips at f32 noise (<1e-3 of pixels) perturb the OC-side
+    # features a little more than conv noise alone; 5% still rejects any
+    # semantic divergence (wrong kernel, wrong slicing, wrong denominators)
+    (_, _, wt3), _ = f_main_oc.apply(
+        v_main_oc, roi_j, jnp.asarray(tgt_oc), roi_j, True,
+        eps=jnp.asarray(e3), mutable=["batch_stats"])
+    assert_domain_mmd_matches(t_feats_3, [np.asarray(z) for z in wt3],
+                              dom_oc, metrics["loss_dom_wt_oc"], rtol64=0.05)
 
     # ---- post-iteration state, all four nets -----------------------------
     # Tolerances as in test_step_torch_parity: Adam's first step is
