@@ -30,6 +30,104 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def _trainer_domains(hw=32):
+    from wt_pse_tpu.data.fundus import FundusDomain
+
+    def dom(seed, n=6):
+        r = np.random.RandomState(seed)
+        return FundusDomain(
+            images=(r.rand(n, hw, hw, 3) * 255).astype(np.uint8),
+            labels=r.choice([0, 128, 255], size=(n, hw, hw)).astype(np.uint8),
+            names=[str(i) for i in range(n)])
+
+    val = dom(9, n=2)
+    from wt_pse_tpu.data.fundus import FundusDomain as FD
+    val = FD(images=val.images, labels=[l for l in val.labels], names=val.names)
+    return [dom(s) for s in (1, 2, 3)], val
+
+
+def test_trainer_dp_product_path_matches_single_device(tmp_path):
+    """The PRODUCT DP path (Trainer(dp=True) — what ``cli.train --dp``
+    builds): on a 1-device mesh the shard_map plumbing (sync-BN pmean, MMD
+    all_gather, grad pmean, per-device sampling) is the identity, so the same
+    seed consumes the SAME batches and RNG stream as the plain single-device
+    Trainer. Equality is semantic, not bitwise: shard_map compiles a different
+    program than the plain step, so f32 fusion rounding differs, and with
+    Adam's first steps being ~±lr*sign(grad) the noise-level gradient elements
+    walk apart at lr scale over a trajectory (same phenomenon, same bounds as
+    tests/test_reference_parity.py::test_full_iteration_matches_reference).
+    So: tight single-step check + lr-scale-bounded 2-epoch trajectory check."""
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hw = 32
+    domains, val = _trainer_domains(hw)
+    kw = dict(hparams=default_hparams("WT_PSE"), val_domain=val, label="OD",
+              batch_size=3, max_epoch=2, interval_validate=99, seed=5,
+              image_size=hw, val_visualization=False)
+    t_dp = Trainer(train_domains=domains, out_dir=str(tmp_path / "dp"),
+                   dp=True, dp_devices=1, **kw)
+    assert t_dp.dp and t_dp.n_dev == 1
+    t_1 = Trainer(train_domains=domains, out_dir=str(tmp_path / "sd"),
+                  dp=False, **kw)
+
+    # --- one step, identical init: same batch + same eps draws -> every loss
+    # agrees to f32 fusion noise (fused_step donates; feed copies)
+    key = jax.random.fold_in(t_dp.run_key, 0)
+    _, m_dp = t_dp.fused_step(jax.tree.map(jnp.copy, t_dp.state), t_dp.data, key)
+    _, m_1 = t_1.fused_step(jax.tree.map(jnp.copy, t_1.state), t_1.data, key)
+    assert set(m_dp) == set(m_1)
+    for k in m_dp:
+        np.testing.assert_allclose(float(m_dp[k]), float(m_1[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=k)
+
+    # --- full 2-epoch product trajectories: lr-scale random-walk bound
+    t_dp.train()
+    t_1.train()
+    lr = 5e-4
+    for net in ("od", "od_shape", "oc", "oc_shape"):
+        diffs = [np.abs(np.asarray(a) - np.asarray(b)).ravel()
+                 for a, b in zip(
+                     jax.tree.leaves(getattr(t_dp.state, net).params),
+                     jax.tree.leaves(getattr(t_1.state, net).params))]
+        flat = np.concatenate(diffs)
+        # 12 Adam steps; each element bounded by a full sign-flip walk. On this
+        # synthetic random-noise data nearly every gradient element sits at f32
+        # noise level, so sign flips between the two compilations are maximal
+        # and the bulk wanders at lr scale too (measured mean 8.8e-4 ~ 1.8*lr).
+        # The *semantic* identity is pinned by the tight single-step metric
+        # check above; this trajectory bound only rules out divergence beyond
+        # the random-walk scale (blow-up, wrong batch streams).
+        assert flat.max() <= 12 * 2 * lr, net
+        assert flat.mean() <= 6 * lr, net
+
+
+def test_trainer_dp_multidevice_trains_and_validates(tmp_path):
+    """Trainer(dp=True) on a real multi-device mesh: 2 scan-driven epochs with
+    per-device sampling + sync-BN, then a batch-sharded validation; finite
+    metrics and a device-count-independent (replicated) state that feeds the
+    normal checkpoint writer."""
+    from wt_pse_tpu.io.checkpoint import restore_ensemble, save_ensemble
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hw, n_dev = 32, 4
+    domains, val = _trainer_domains(hw)
+    t = Trainer(hparams=default_hparams("WT_PSE"), train_domains=domains,
+                val_domain=val, out_dir=str(tmp_path / "r"), label="OD",
+                batch_size=3 * n_dev, max_epoch=2, interval_validate=99,
+                seed=2, image_size=hw, eval_batch_size=n_dev,
+                val_visualization=False, dp=True, dp_devices=n_dev)
+    assert t.n_dev == n_dev
+    t.train()
+    m = t.validate()
+    assert all(np.isfinite(v) for v in m.values())
+    # replicated state round-trips through the ordinary checkpoint path
+    save_ensemble(str(tmp_path / "ck"), t.state)
+    restored = restore_ensemble(str(tmp_path / "ck"), t.state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.od.params)[0]),
+        np.asarray(jax.tree.leaves(t.state.od.params)[0]))
+
+
 def test_dp_matches_single_device_semantics():
     """One DP step on 2 devices == one single-device step on the same global
     batch (same params, deterministic batch; sync-BN axis makes stats global)."""

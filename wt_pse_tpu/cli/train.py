@@ -53,7 +53,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("configs", nargs="*")
     p.add_argument("--label", type=str, default="OD")
     p.add_argument("--seed", type=int, default=1)
-    p.add_argument("--running_times", type=int, default=3)
+    p.add_argument("--running_times", type=int, default=3,
+                   help="independent trainings to aggregate (mean±std of the 6 "
+                        "best metrics, train.py:174-175). DOCUMENTED DEVIATION: "
+                        "run r uses seed+r, so the std measures real seed "
+                        "variance; the reference re-seeds IDENTICALLY each "
+                        "repetition (train.py:53-54 inside the loop), making "
+                        "its reported ±std the spread of identical runs (GPU "
+                        "nondeterminism only). Pass --identical-reruns for "
+                        "reference semantics")
+    p.add_argument("--identical-reruns", action="store_true",
+                   help="re-seed every repetition with the SAME --seed, exactly "
+                        "like the reference (see --running_times); on TPU the "
+                        "runs are then bit-identical and the std is 0")
     p.add_argument("--lr-schedule", action="store_true",
                    help="enable the linear-warmup + milestone-step-decay lr "
                         "schedule (the reference defines this as "
@@ -103,6 +115,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nan-recovery", action="store_true",
                    help="roll back to the last finite epoch instead of "
                         "raising on NaN loss [addition over the reference]")
+    p.add_argument("--dp", dest="dp", action="store_true", default=None,
+                   help="force shard_map data parallelism over all visible "
+                        "devices (sync-BN, grad pmean, MMD all_gather over "
+                        "ICI). Default: auto — enabled whenever "
+                        "jax.device_count() > 1 [addition over the reference]")
+    p.add_argument("--no-dp", dest="dp", action="store_false",
+                   help="force single-device training even on a multi-chip "
+                        "slice")
+    p.add_argument("--dp-devices", type=int, default=None,
+                   help="cap the data-parallel mesh at N devices (default: "
+                        "all visible)")
     p.add_argument("--compile-cache",
                    default=os.path.expanduser("~/.cache/wt_pse_tpu_xla"),
                    help="persistent XLA compile-cache dir (TPU compiles are "
@@ -186,7 +209,8 @@ def main(args=None, left_argv=None):
         yamls = [p for p in ["config.yaml"] + list(args.configs) if os.path.exists(p)]
         hparams = load_config(hparams, yamls, left_argv or [])
 
-        seed_initialization(args.seed + run_idx)
+        run_seed = args.seed if args.identical_reruns else args.seed + run_idx
+        seed_initialization(run_seed)
         if run_idx == 0:
             from wt_pse_tpu.utils.snapshot import save_code
 
@@ -210,7 +234,7 @@ def main(args=None, left_argv=None):
             lr_od_shape=args.lr_od_shape,
             lr_oc=args.lr_oc,
             lr_oc_shape=args.lr_oc_shape,
-            seed=args.seed + run_idx,
+            seed=run_seed,
             resume=args.resume if run_idx == 0 else None,
             algorithm=args.algorithm,
             tensorboard=args.tensorboard,
@@ -219,6 +243,8 @@ def main(args=None, left_argv=None):
             train_viz_interval=args.train_viz_interval,
             fast_validation=args.fast_validation,
             nan_recovery=args.nan_recovery,
+            dp=args.dp,
+            dp_devices=args.dp_devices,
             lr_schedule=(dict(warmup_steps=args.lr_warmup_epochs,
                               warmup_factor=args.lr_warmup_factor,
                               gamma=args.lr_gamma,

@@ -26,11 +26,14 @@ from wt_pse_tpu.data.augment import make_device_batch_fn
 from wt_pse_tpu.train.step import StepConfig, make_train_step
 
 
-def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
-                       mesh: Mesh, domain_num: int, per_domain_batch_global: int,
-                       replicate_ref_quirks: bool = True, axis: str = "data",
-                       distill: bool = True):
-    """Build ``fn(state, data, key) -> (state, metrics)`` running under shard_map.
+def make_dp_fused(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
+                  mesh: Mesh, domain_num: int, per_domain_batch_global: int,
+                  replicate_ref_quirks: bool = True, axis: str = "data",
+                  distill: bool = True):
+    """Build the UNJITTED ``fn(state, data, key) -> (state, metrics)`` running
+    under shard_map — same contract as the Trainer's single-device ``fused``
+    closure, so the caller can either jit it directly (one step per dispatch)
+    or ``lax.scan`` over it (the Trainer's whole-epoch device driver).
 
     ``per_domain_batch_global`` must divide by the mesh size; each device runs the
     local slice and the result is bitwise-identical state on every device
@@ -64,18 +67,26 @@ def make_dp_train_step(main_od, stud_od, main_oc, stud_oc, txs, hparams: dict,
     batch_fn = make_device_batch_fn(pdb_local)
 
     def device_fn(state, data, key):
-        # distinct per-device sample stream; same key -> same params everywhere
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        # distinct per-device sample stream; same key -> same params everywhere.
+        # On a 1-device mesh the fold is skipped so the stream is IDENTICAL to
+        # the single-device Trainer's (DP over one device is the identity —
+        # tested at the Trainer level in tests/test_parallel.py)
+        if n_dev > 1:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         kb, ks = jax.random.split(key)
         batch = batch_fn(data, kb)
         new_state, metrics = train_step(state, batch, ks)
         metrics = jax.lax.pmean(metrics, axis)
         return new_state, metrics
 
-    sharded = shard_map(
+    return shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(), P()),       # state, dataset, key: replicated
         out_specs=(P(), P()),           # state stays replicated (grads pmean'd)
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_train_step(*args, **kwargs):
+    """``make_dp_fused`` jitted with donated state — one step per dispatch."""
+    return jax.jit(make_dp_fused(*args, **kwargs), donate_argnums=(0,))

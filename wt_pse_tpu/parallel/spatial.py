@@ -22,38 +22,37 @@ def _replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def _sharded_predict(predict_fn, mesh: Mesh, img_spec: P):
+    """Shared wrapper: jit ONCE at wrap time (a per-call ``jax.jit`` would
+    retrace/recompile every invocation — each ``jax.jit(fn)`` object carries
+    its own cache), device_put the operands to their shardings per call."""
+    img_sharding = NamedSharding(mesh, img_spec)
+    jitted = {}  # arity -> compiled wrapper (variables count is call-dependent)
+
+    def wrapped(*args):
+        *variables, image = args
+        n = len(variables)
+        if n not in jitted:
+            jitted[n] = jax.jit(
+                predict_fn,
+                in_shardings=(*(_replicated(mesh),) * n, img_sharding),
+                out_shardings=img_sharding)
+        variables = jax.tree.map(
+            lambda x: jax.device_put(x, _replicated(mesh)), tuple(variables))
+        image = jax.device_put(image, img_sharding)
+        return jitted[n](*variables, image)
+
+    return wrapped
+
+
 def spatial_sharded(predict_fn, mesh: Mesh, axis: str = "data"):
     """Wrap ``predict_fn(*variable_trees, image)`` so the NHWC image (last arg)
     is sharded over its H dimension across ``axis``; variables replicated.
     XLA inserts halo exchanges for every conv/pool/resize crossing shard edges.
     """
-    img_sharding = NamedSharding(mesh, P(None, axis, None, None))
-
-    def wrapped(*args):
-        *variables, image = args
-        variables = jax.tree.map(
-            lambda x: jax.device_put(x, _replicated(mesh)), tuple(variables))
-        image = jax.device_put(image, img_sharding)
-        return jax.jit(predict_fn,
-                       in_shardings=(*( _replicated(mesh),) * len(variables),
-                                     img_sharding),
-                       out_shardings=img_sharding)(*variables, image)
-
-    return wrapped
+    return _sharded_predict(predict_fn, mesh, P(None, axis, None, None))
 
 
 def batch_sharded(predict_fn, mesh: Mesh, axis: str = "data"):
     """Shard the batch dimension across the mesh (eval data parallelism)."""
-    img_sharding = NamedSharding(mesh, P(axis, None, None, None))
-
-    def wrapped(*args):
-        *variables, image = args
-        variables = jax.tree.map(
-            lambda x: jax.device_put(x, _replicated(mesh)), tuple(variables))
-        image = jax.device_put(image, img_sharding)
-        return jax.jit(predict_fn,
-                       in_shardings=(*(_replicated(mesh),) * len(variables),
-                                     img_sharding),
-                       out_shardings=img_sharding)(*variables, image)
-
-    return wrapped
+    return _sharded_predict(predict_fn, mesh, P(axis, None, None, None))

@@ -94,7 +94,24 @@ class Trainer:
         train_visualization: bool = False,
         train_viz_interval: int = 30,
         lr_schedule: dict | None = None,
+        dp: bool | None = None,
+        dp_devices: int | None = None,
+        devices: list | None = None,
     ):
+        """``dp``: shard_map data parallelism over a ``('data',)`` device mesh
+        (new capability — the reference is strictly single-GPU, SURVEY.md §2.3).
+        ``None`` auto-enables when the process sees more than one device;
+        ``dp_devices`` caps the mesh size. Under DP the models are built with
+        sync-BN (``bn_axis_name='data'``), each device samples its own
+        per-domain slice (global batch = ``batch_size``, kept domain-contiguous
+        per device so the MMD slicing stays correct), gradients/BN statistics
+        ``pmean`` over ICI, the MMD covariance vectors ``all_gather``, and
+        validation runs the two-stage predict batch-sharded over the same mesh
+        (``parallel.spatial.batch_sharded``) when ``eval_batch_size`` divides.
+        State (params, optimizer, BN) stays replicated — checkpoints and resume
+        are device-count-independent. ``devices`` overrides the device list
+        (default ``jax.devices()`` — needed e.g. to train on the virtual CPU
+        mesh when the process's default backend is a single real chip)."""
         self.hparams = dict(hparams)
         self.label = label
         self.out = out_dir
@@ -124,6 +141,28 @@ class Trainer:
         total = sum(len(d) for d in train_domains)
         self.iter_per_epoch = max(total // batch_size, 1)
 
+        devs = list(devices) if devices is not None else jax.devices()
+        if dp is None:
+            dp = len(devs) > 1  # auto: use the slice when one is there
+        self.dp = bool(dp)
+        self.n_dev = 1
+        self.mesh = None
+        if self.dp:
+            self.n_dev = min(dp_devices or len(devs), len(devs))
+            if self.per_domain_batch % self.n_dev:
+                raise ValueError(
+                    f"data parallelism needs per-domain batch "
+                    f"{self.per_domain_batch} (batch_size // domains) divisible "
+                    f"by the {self.n_dev}-device mesh; pick batch_size as a "
+                    f"multiple of {self.domain_num * self.n_dev} or cap "
+                    f"dp_devices")
+            from wt_pse_tpu.parallel.mesh import data_mesh
+
+            self.mesh = data_mesh(self.n_dev, devices=devs)
+            print(f"[trainer] data-parallel over {self.n_dev} devices: "
+                  f"{self.per_domain_batch // self.n_dev}/domain/device, "
+                  f"global batch {self.per_domain_batch * self.domain_num}")
+
         if label not in ("OC", "OD"):
             # the reference's label=None 2-class mode is vestigial: training
             # crashes there at the first loss (BCELoss shape mismatch — the
@@ -136,7 +175,9 @@ class Trainer:
                 "the reference's 2-class (label=None) training path is "
                 "non-functional as shipped — see Trainer docstring")
         n_classes = 1
-        cfg = ModelConfig.from_hparams(self.hparams, n_classes=n_classes)
+        cfg = ModelConfig.from_hparams(
+            self.hparams, n_classes=n_classes,
+            bn_axis_name="data" if self.dp else None)  # sync-BN under DP
         self.cfg = cfg
         self.algorithm = algorithm
         if algorithm == "Unet_nips2023_joint_shape_regularization":
@@ -175,6 +216,16 @@ class Trainer:
             from wt_pse_tpu.train.lr import (reference_lr_kwargs,
                                              reference_lr_schedule)
 
+            allowed = {"warmup_steps", "warmup_factor", "gamma", "milestones",
+                       "clamp_warmup"}
+            unknown = set(lr_schedule) - allowed
+            if unknown:
+                # anything else (e.g. first_epoch_lr / applied_after_epoch,
+                # which this Trainer sets itself) would collide as a duplicate
+                # kwarg in the schedule constructors below — reject clearly
+                raise ValueError(
+                    f"unknown lr_schedule key(s) {sorted(unknown)}; "
+                    f"allowed: {sorted(allowed)} (see train/lr.py)")
             kw = dict(reference_lr_kwargs(max_epoch))
             kw.update({k: v for k, v in lr_schedule.items() if v is not None})
             self._lr_kwargs = kw
@@ -196,18 +247,30 @@ class Trainer:
             self.init_key, *tx_lrs)
 
         self.data = stack_domains(train_domains)
-        step_cfg = StepConfig(
-            self.hparams, self.domain_num, self.per_domain_batch,
-            replicate_ref_quirks,
-            distill=(algorithm != "Unet_nips2023_joint_shape_regularization"))
+        distill = (algorithm != "Unet_nips2023_joint_shape_regularization")
         batch_fn = make_device_batch_fn(self.per_domain_batch)
-        train_step = make_train_step(self.main_od, self.stud_od, self.main_oc,
-                                     self.stud_oc, self.txs, step_cfg)
+        if self.dp:
+            # the DP fused step has the same (state, data, key) contract as the
+            # single-device closure below: per-device sampling + the 4-phase
+            # step under shard_map, state replicated out (parallel/dp.py)
+            from wt_pse_tpu.parallel.dp import make_dp_fused
 
-        def fused(state, data, key):
-            kb, ks = jax.random.split(key)
-            batch = batch_fn(data, kb)
-            return train_step(state, batch, ks)
+            fused = make_dp_fused(
+                self.main_od, self.stud_od, self.main_oc, self.stud_oc,
+                self.txs, self.hparams, self.mesh, self.domain_num,
+                self.per_domain_batch, replicate_ref_quirks, distill=distill)
+        else:
+            step_cfg = StepConfig(
+                self.hparams, self.domain_num, self.per_domain_batch,
+                replicate_ref_quirks, distill=distill)
+            train_step = make_train_step(self.main_od, self.stud_od,
+                                         self.main_oc, self.stud_oc, self.txs,
+                                         step_cfg)
+
+            def fused(state, data, key):
+                kb, ks = jax.random.split(key)
+                batch = batch_fn(data, kb)
+                return train_step(state, batch, ks)
 
         self.fused_step = jax.jit(fused, donate_argnums=(0,))
 
@@ -281,6 +344,18 @@ class Trainer:
             self.predict_fn = make_predict_fn(
                 self.main_od, self.stud_od, self.main_oc, self.stud_oc,
                 packed=bool(fast_validation and self.cfg.s2d))
+        if self.dp:
+            if eval_batch_size % self.n_dev == 0:
+                # validation rides the same mesh: batch dim sharded over
+                # 'data', variables replicated (eval pads every chunk to
+                # eval_batch_size, so the compiled shape always divides)
+                from wt_pse_tpu.parallel.spatial import batch_sharded
+
+                self.predict_fn = batch_sharded(self.predict_fn, self.mesh)
+            else:
+                print(f"[trainer] eval_batch_size {eval_batch_size} not "
+                      f"divisible by {self.n_dev} devices — validation runs "
+                      "unsharded (single device)")
 
         # eval data: encoded native-res masks per image
         self.val_images = val_domain.images
@@ -515,18 +590,20 @@ class Trainer:
                 stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
                 metrics = {k: float(v) for k, v in zip(names, stacked)}
             if self._lr_kwargs is not None:
-                # get_lr(self.optim) parity: the lr USED during this epoch
-                # (the reference's per-epoch 'lr'/'lr_shape' tensorboard
-                # scalars at Trainer.py:1043-1044 read the optimizer state
-                # after the (commented) after-the-epoch lr_update). Host math —
+                # strict get_lr parity: the reference's per-epoch 'lr'/
+                # 'lr_shape' tensorboard scalars read the optimizer state
+                # AFTER lr_update(epoch) (Trainer.py:1040-1044), i.e. f(epoch)
+                # — one epoch ahead of the lr the epoch actually trained with
+                # (the after-the-epoch application shift, train/lr.py). Both
+                # scalars read the SAME post-update value: lr_update overwrites
+                # the shape optimizer with the od base lr. Host math —
                 # evaluating the jnp schedule eagerly costs device round-trips.
                 from wt_pse_tpu.train.lr import reference_lr_value
 
                 lr_now = reference_lr_value(self.lr_od, epoch,
+                                            applied_after_epoch=False,
                                             **self._lr_kwargs)
-                lr_shape_now = reference_lr_value(
-                    self.lr_od, epoch, first_epoch_lr=self.lr_od_shape,
-                    **self._lr_kwargs)
+                lr_shape_now = lr_now
             else:
                 lr_now, lr_shape_now = self.lr_od, self.lr_od_shape
             self.logger.scalars(
