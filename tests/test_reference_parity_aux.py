@@ -69,9 +69,7 @@ def test_default_hparams_match_reference(refmods, algo):
 
 def test_random_hparams_within_reference_ranges(refmods):
     """Our random search draws must stay inside the reference's search space
-    (hparams_registry.py:31-47,82-93). Draw-for-draw stream parity is not a
-    goal (the reference's draw order is an implementation detail of dict
-    registration); the search *space* is the contract."""
+    (hparams_registry.py:31-47,82-93)."""
     from wt_pse_tpu.config.hparams import random_hparams
 
     for seed in range(5):
@@ -83,6 +81,29 @@ def test_random_hparams_within_reference_ranges(refmods):
         assert hp["margin"] in (1, 0.1, 0.01)
         assert hp["instance_wt_gm"] in (1, 0.1, 0.25, 0.75)
         assert hp["domain_wt_gm"] in (1, 0.1, 0.25, 0.75)
+
+
+@pytest.mark.parametrize("algo", ["WT_PSE",
+                                  "Unet_nips2023_joint_shape_regularization"])
+@pytest.mark.parametrize("seed", [0, 1, 7, 42])
+def test_random_hparams_seeded_draw_matches_reference(refmods, algo, seed):
+    """Full seeded-draw parity: the rebuild mirrors the reference's tuple
+    surface AND its RandomState consumption order, so the same seed must
+    produce the identical draw for EVERY key — including the non-drawn
+    random-side constants (`global_metric` -> True,
+    `posterior_transform_follow_prior` -> True) the joint variant flips
+    (hparams_registry.py:95-158)."""
+    from wt_pse_tpu.config.hparams import random_hparams
+
+    ref = refmods["hparams_registry"].random_hparams(algo, "Fundus", seed)
+    ours = random_hparams(algo, seed=seed)
+    assert set(ref) - set(ours) == set()
+    assert set(ours) - set(ref) == EXTENSION_KEYS
+    for k, v in ref.items():
+        if isinstance(v, (list, np.ndarray)):
+            assert np.array_equal(ours[k], v), k
+        else:
+            assert ours[k] == v, (k, ours[k], v)
 
 
 # --------------------------------------------------------------------------

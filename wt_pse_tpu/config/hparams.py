@@ -127,19 +127,81 @@ def default_hparams(algorithm: str, dataset: str = "fundus") -> dict:
 def random_hparams(algorithm: str, dataset: str = "fundus", seed: int = 0) -> dict:
     """Random-search hparams (parity with hparams_registry.random_hparams:156-158).
 
-    Only the numerically-searched keys the reference actually varies for fundus are
-    randomized; boolean/structural flags stay at their defaults (as in the reference,
-    where e.g. ``whitening`` random draw is a constant ``(True, True)``).
+    Mirrors the FULL ``(default, random)`` tuple surface of the reference
+    registry in its exact dict-construction order — every ``random_state``
+    draw happens in the same sequence with the same expression, so a seeded
+    draw here equals ``hparams_registry.random_hparams(algorithm, dataset,
+    seed)`` key-for-key (asserted against the real registry in
+    ``tests/test_reference_parity_aux.py``). Note the random side is not
+    "defaults plus overrides": e.g. the joint variant's ``global_metric``
+    random value is ``True`` (default ``[True]``) and
+    ``posterior_transform_follow_prior`` flips to ``True``
+    (hparams_registry.py:120,146).
     """
     rs = np.random.RandomState(seed)
-    hp = default_hparams(algorithm, dataset)
+    choice = lambda opts: rs.choice(opts)
+    hp = default_hparams(algorithm, dataset)  # non-drawn keys keep defaults
+
+    # common block, draw order = hparams_registry.py:14-24
+    hp["eval_steps"] = float(choice([1, 0.1, 0.01]))
+    hp["training_fraction"] = float(choice([1, 0.1, 0.01]))
+    hp["resnet_dropout"] = float(choice([0.0, 0.1, 0.5]))
+    # fundus is not SMALL_IMAGES -> lines 32-47
     hp["lr_gm"] = float(10 ** rs.uniform(-5, -3.5))
     hp["lr_sc"] = float(10 ** rs.uniform(-5, -3.5))
     hp["batch_size"] = int(2 ** rs.uniform(3, 5.5))
     hp["weight_decay"] = float(10 ** rs.uniform(-6, -2))
+
     if algorithm == "WT_PSE":
-        hp["margin"] = float(rs.choice([1, 0.1, 0.01]))
-        hp["shape_attention_coeffient"] = float(rs.choice([1, 0.1, 0.01]))
-        hp["instance_wt_gm"] = float(rs.choice([1, 0.1, 0.25, 0.75]))
-        hp["domain_wt_gm"] = float(rs.choice([1, 0.1, 0.25, 0.75]))
+        # lines 75-93, in order; (x, x) constant tuples consume no draw
+        hp["eval_steps"] = float(choice([1, 0.1, 0.01]))
+        hp["margin"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_attention_coeffient"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_start"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_weight"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["instance_wt_gm"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["domain_wt_gm"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["instance_wt_sc"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["domain_wt_sc"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["multi-turn"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["sg_type"] = str(choice(["oc", "od"]))
+        hp["whitening_type"] = str(choice(["cca", "instance_wt"]))
+        hp["wt_type_inference"] = str(choice(["instance_wt", "instance_wt"]))
+    elif algorithm == "Unet_nips2023_joint_shape_regularization":
+        # lines 97-146, in order
+        hp["num_mc"] = int(choice([1, 1, 1]))
+        hp["num_monte_carlo"] = int(choice([20, 30, 40, 50]))
+        hp["moped_delta_factor"] = float(choice([0.1, 0.2, 0.3]))
+        hp["bnn_rho_init"] = float(choice([-1, -2, -3, -4, -5]))
+        hp["kl_weight"] = float(choice([1, 0.1, 0.5, 0.25, 0.75]))
+        hp["ce_weight"] = float(choice([1, 0.1, 0.5, 0.25, 0.75]))
+        hp["global_weight"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["p_weight1"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["classifier"] = str(choice(["SGP", "NO"]))
+        hp["contrastive_type"] = str(
+            choice(["contrastive", "triplet", "contrastive_plain"]))
+        hp["contrastive_type_global"] = str(
+            choice(["contrastive", "triplet", "contrastive_plain"]))
+        hp["margin"] = float(choice([1, 0.1, 0.01]))
+        hp["pairs_number"] = float(choice([1, 0.1, 0.01]))
+        hp["global_metric"] = True  # ([True], True): constant, no draw
+        hp["metric_dimension"] = float(choice([1, 10, 0.1]))
+        hp["level2_gamma"] = float(choice([1, 10, 0.1]))
+        hp["level1_gamma_global"] = float(choice([1, 0.01, 0.1]))
+        hp["level1_gamma"] = float(choice([1, 0.1, 10]))
+        hp["eval_steps"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_attention_coeffient"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_start"] = float(choice([1, 0.1, 0.01]))
+        hp["shape_weight"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["instance_wt_gm"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["domain_wt_gm"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["instance_wt_sc"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["domain_wt_sc"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["multi-turn"] = float(choice([1, 0.1, 0.25, 0.75]))
+        hp["sg_type"] = str(choice(["oc", "od"]))
+        hp["whitening_type"] = str(choice(["cca", "instance_wt"]))
+        hp["wt_type_inference"] = str(choice(["instance_wt", "instance_wt"]))
+        hp["CCA_type"] = str(choice(["cca_all", "caa_random_2"]))
+        hp["CCA_transform_type"] = str(choice(["ZCA", "CCA"]))
+        hp["posterior_transform_follow_prior"] = True  # (False, True), no draw
     return hp
