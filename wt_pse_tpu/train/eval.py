@@ -251,6 +251,18 @@ def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,
         cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
 
     as_bool = lambda x: np.asarray(x, dtype=bool)
+    for name, gt in (("OD", od_gt), ("OC", oc_gt)):
+        if np.asarray(gt).sum() < 1:
+            # reference parity: medpy raises on an empty ground-truth mask
+            # (there is no surface to measure a distance to). Raise with a
+            # clear message instead of medpy's shape error; note the
+            # fast_validation (device) path instead applies the empty-PRED
+            # 100.0 sentinel there — a documented host/device divergence
+            # (train/eval_device.py:77-84).
+            raise ValueError(
+                f"empty {name} ground-truth mask: surface-distance metrics "
+                "are undefined (the reference's medpy path crashes here too); "
+                "fast_validation=True would report the 100.0 sentinel instead")
     if pred_oc.sum() < 1e-4:
         cup_hd = cup_asd = 100.0
     else:
