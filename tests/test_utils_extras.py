@@ -51,7 +51,66 @@ def test_mask_boundary_ring():
     assert not b[3, 3]
 
 
+def test_find_contour_points_single_pixel():
+    """One lit pixel -> exactly its 4 half-pixel edge midpoints (the classic
+    marching-squares diamond skimage.find_contours returns)."""
+    from wt_pse_tpu.utils.visualization import find_contour_points
+
+    m = np.zeros((9, 9))
+    m[4, 4] = 1.0
+    pts = find_contour_points(m)
+    got = {tuple(p) for p in pts}
+    assert got == {(4.0, 3.5), (4.0, 4.5), (3.5, 4.0), (4.5, 4.0)}
+
+
+def test_find_contour_points_rectangle_count_and_geometry():
+    """h x w rectangle of ones: every vertex sits on a half-pixel edge
+    crossing of the rectangle boundary — 2*(h+w) of them, each exactly 0.5
+    outside the lit region along one axis."""
+    from wt_pse_tpu.utils.visualization import find_contour_points
+
+    m = np.zeros((20, 20))
+    m[5:12, 3:14] = 1.0  # 7 rows x 11 cols
+    pts = find_contour_points(m)
+    assert len(pts) == 2 * (7 + 11)
+    for r, c in pts:
+        on_row_edge = r in (4.5, 11.5) and 3 <= c <= 13 and c == int(c)
+        on_col_edge = c in (2.5, 13.5) and 5 <= r <= 11 and r == int(r)
+        assert on_row_edge or on_col_edge, (r, c)
+
+
+def test_find_contour_points_subpixel_interpolation():
+    """Non-binary field: the crossing interpolates linearly along the edge
+    (skimage vertex placement), not at the midpoint."""
+    from wt_pse_tpu.utils.visualization import find_contour_points
+
+    m = np.zeros((3, 3))
+    m[1, 1] = 0.8  # edge 0 -> 0.8 crosses 0.5 at 0.5/0.8 = 0.625 from the 0 side
+    pts = {tuple(p) for p in find_contour_points(m)}
+    # crossing sits 0.625 of the way from the zero sample toward (1,1), i.e.
+    # 0.375 away from the peak on each of its four edges
+    assert (1.0, 0.625) in pts and (1.0, 1.375) in pts
+    assert (0.625, 1.0) in pts and (1.375, 1.0) in pts
+
+
+def test_find_contour_points_circle_subpixel_accuracy():
+    """Contour vertices of a rasterized disc lie within ~one pixel of the true
+    circle — the sub-pixel property the boundary-pixel method lacked."""
+    from wt_pse_tpu.utils.visualization import find_contour_points
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    r = 20.3
+    m = (((yy - 32) ** 2 + (xx - 32) ** 2) < r ** 2).astype(float)
+    pts = find_contour_points(m)
+    assert len(pts) > 100
+    d = np.sqrt((pts[:, 0] - 32) ** 2 + (pts[:, 1] - 32) ** 2)
+    assert np.max(np.abs(d - r)) < 0.75  # half-pixel quantization + 0.5 offset
+
+
 def test_overlay_contours_colors():
+    """Reference drawing semantics (utils.py:385-450): sub-pixel contour
+    vertices painted with the 7-tap truncation stencil; disc green, cup blue,
+    GT red last (wins overlaps)."""
     img = np.full((16, 16, 3), 128, np.uint8)
     pred = np.zeros((2, 16, 16))
     gt = np.zeros((2, 16, 16))
@@ -59,12 +118,66 @@ def test_overlay_contours_colors():
     pred[0, 6:10, 6:10] = 1  # cup -> blue
     gt[1, 3:13, 3:13] = 1    # gt -> red, painted last (wins overlaps)
     out = overlay_contours(img, pred, gt)
-    # boundaries are 2px thick; gt ring (rows/cols 3-4, 11-12) is painted last
-    # and wins overlaps, so probe pred rings where gt doesn't cover
-    assert tuple(out[5, 5]) == (0, 255, 0)    # disc ring row 5
-    assert tuple(out[6, 6]) == (0, 0, 255)    # cup ring (4x4 -> all boundary)
-    assert tuple(out[3, 3]) == (255, 0, 0)    # gt ring
+    # disc top-left vertex (3.5, 4) paints rows {2,3,4} x cols {3,4,5};
+    # (4,4) is outside both the cup stencil (rows 4-6 only at cols >= 4 come
+    # from vertex (5.5, c>=5.5)) and the gt stencil (rows {1,2,3}/{11,12,13},
+    # cols {1,2,3}/{11,12,13})
+    assert tuple(out[4, 4]) == (0, 255, 0)
+    # cup vertex (5.5, 6) paints (6, 6); disc/gt stencils don't reach it
+    assert tuple(out[6, 6]) == (0, 0, 255)
+    # gt vertex (2.5, 3) paints (3, 3); disc painted it first, red wins
+    assert tuple(out[3, 3]) == (255, 0, 0)
     assert tuple(out[0, 0]) == (128, 128, 128)  # outside everything
+
+
+def test_overlay_contours_matches_reference_painter():
+    """Full-frame golden vs the ACTUAL reference painting loop
+    (utils.py:385-450) run on the same contours: replicate its 7-tap indexing
+    verbatim on the reference side using OUR find_contour_points output (the
+    skimage vertex set equivalence is pinned by the geometry tests above), and
+    require the whole overlay to be byte-identical."""
+    from wt_pse_tpu.ops.postprocess import largest_component_fill_holes
+    from wt_pse_tpu.utils.visualization import find_contour_points
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    pred = np.zeros((2, 32, 32))
+    gt = np.zeros((2, 32, 32))
+    yy, xx = np.mgrid[0:32, 0:32]
+    pred[1] = ((yy - 16) ** 2 + (xx - 15) ** 2 < 100).astype(float)
+    pred[0] = ((yy - 16) ** 2 + (xx - 15) ** 2 < 30).astype(float)
+    gt[1] = ((yy - 15) ** 2 + (xx - 16) ** 2 < 110).astype(float)
+    gt[0] = ((yy - 15) ** 2 + (xx - 16) ** 2 < 25).astype(float)
+
+    ours = overlay_contours(img, pred, gt)
+
+    # reference loop, transcribed from utils.py:404-450 (7 taps, int trunc)
+    def ref_paint(patch, contours, color):
+        for contour in [contours]:
+            if not len(contour):
+                continue
+            patch[(contour[:, 0]).astype(int), (contour[:, 1]).astype(int), :] = color
+            patch[(contour[:, 0] + 1.0).astype(int), (contour[:, 1]).astype(int), :] = color
+            patch[(contour[:, 0] + 1.0).astype(int), (contour[:, 1] + 1.0).astype(int), :] = color
+            patch[(contour[:, 0]).astype(int), (contour[:, 1] + 1.0).astype(int), :] = color
+            patch[(contour[:, 0] - 1.0).astype(int), (contour[:, 1]).astype(int), :] = color
+            patch[(contour[:, 0] - 1.0).astype(int), (contour[:, 1] - 1.0).astype(int), :] = color
+            patch[(contour[:, 0]).astype(int), (contour[:, 1] - 1.0).astype(int), :] = color
+
+    want = img.copy()
+
+    def bordered(m):
+        m = np.asarray(m, np.float64).copy()
+        m[:, 0] = m[:, -1] = 0.0
+        m[0, :] = m[-1, :] = 0.0
+        return m
+
+    ref_paint(want, find_contour_points(bordered(pred[1])), [0, 255, 0])
+    ref_paint(want, find_contour_points(bordered(pred[0])), [0, 0, 255])
+    for ch in (0, 1):
+        g = largest_component_fill_holes(gt[ch] > 0.5)
+        ref_paint(want, find_contour_points(g.astype(np.float64)), [255, 0, 0])
+    np.testing.assert_array_equal(ours, want)
 
 
 def test_joint_val_image_panels():

@@ -1,10 +1,11 @@
 """Eval-time visualization: contour overlays and image grids.
 
-Reproduces ``save_per_img`` (``/root/reference/utils.py:371-454``): draw prediction
-contours (green = disc, blue = cup) and ground-truth contours (red) over the
-original image, save original + overlay PNG/BMP pairs. Contour extraction uses
-marching-squares boundary pixels computed with numpy/scipy (the reference uses
-skimage ``find_contours``; we draw the boundary pixel set, visually equivalent).
+Reproduces ``save_per_img`` (``/root/reference/utils.py:371-454``): extract
+marching-squares iso-0.5 contours of the prediction/GT masks (the reference
+uses skimage ``measure.find_contours``; :func:`find_contour_points` is a
+from-scratch equivalent — identical sub-pixel vertex set), paint them over the
+original image with the reference's exact 7-tap thickening stencil, and save
+original + overlay image pairs.
 """
 
 from __future__ import annotations
@@ -16,10 +17,71 @@ import scipy.ndimage as ndi
 
 
 def mask_boundary(mask: np.ndarray, width: int = 2) -> np.ndarray:
-    """Boundary pixels of a binary mask (mask minus its erosion), thickened."""
+    """Boundary pixels of a binary mask (mask minus its erosion), thickened.
+    (Pixel-level helper kept for montages; the overlay path uses the sub-pixel
+    :func:`find_contour_points`.)"""
     mask = np.asarray(mask) > 0.5
     er = ndi.binary_erosion(mask, iterations=width)
     return mask & ~er
+
+
+def find_contour_points(arr: np.ndarray, level: float = 0.5) -> np.ndarray:
+    """Sub-pixel iso-``level`` contour vertices of a 2-D array — the same
+    point set ``skimage.measure.find_contours(arr, level)`` returns
+    (``utils.py:404-405,433-434``), computed vectorized.
+
+    Marching-squares polyline vertices all lie on grid-edge crossings: a pair
+    of 4-adjacent samples with one side below and one side at-or-above the
+    level contributes one vertex, linearly interpolated along the edge
+    (skimage's vertex placement). The reference's drawing only *indexes* the
+    vertices (no segment rasterization), so the unordered point set is the
+    whole contract — polyline ordering/connectivity never reaches the output.
+
+    Returns (N, 2) float64 ``(row, col)`` points; binary masks at level 0.5
+    yield the classic half-pixel midpoints.
+    """
+    a = np.asarray(arr, np.float64)
+    below = a < level
+    pts = []
+    # horizontal edges (between column-adjacent samples): row integral
+    cross = below[:, :-1] != below[:, 1:]
+    if cross.any():
+        rr, cc = np.nonzero(cross)
+        frac = (level - a[rr, cc]) / (a[rr, cc + 1] - a[rr, cc])
+        pts.append(np.stack([rr.astype(np.float64), cc + frac], axis=1))
+    # vertical edges (between row-adjacent samples): col integral
+    cross = below[:-1, :] != below[1:, :]
+    if cross.any():
+        rr, cc = np.nonzero(cross)
+        frac = (level - a[rr, cc]) / (a[rr + 1, cc] - a[rr, cc])
+        pts.append(np.stack([rr + frac, cc.astype(np.float64)], axis=1))
+    if not pts:
+        return np.zeros((0, 2), np.float64)
+    return np.concatenate(pts, axis=0)
+
+
+# the reference's thickening stencil (utils.py:408-421): each contour vertex
+# paints int-truncated (r,c) plus 6 neighbors — note the asymmetric 7-tap set
+# (no (+1,-1) / (-1,+1) taps) and the int() truncation of e.g. r-1.0
+_STENCIL = ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+            (-1.0, 0.0), (-1.0, -1.0), (0.0, -1.0))
+
+
+def _paint_points(out: np.ndarray, pts: np.ndarray, color) -> None:
+    """Paint contour vertices with the reference stencil. Negative truncated
+    indices wrap to the far edge — numpy fancy-indexing semantics the
+    reference inherits (its prediction maps have zeroed borders so the wrap
+    is unreachable there; GT masks touching the frame wrap identically here).
+    Taps past the high edge are dropped instead of replicating the
+    reference's IndexError (only reachable for GT touching the frame)."""
+    if not len(pts):
+        return
+    h, w = out.shape[:2]
+    for dr, dc in _STENCIL:
+        rr = (pts[:, 0] + dr).astype(int)
+        cc = (pts[:, 1] + dc).astype(int)
+        keep = (rr < h) & (cc < w) & (rr >= -h) & (cc >= -w)
+        out[rr[keep], cc[keep]] = color
 
 
 def untransform(img: np.ndarray) -> np.ndarray:
@@ -30,15 +92,32 @@ def untransform(img: np.ndarray) -> np.ndarray:
 def overlay_contours(image_u8: np.ndarray, pred_2ch: np.ndarray,
                      gt_2ch: np.ndarray) -> np.ndarray:
     """image (H,W,3) u8; pred/gt (2,H,W) binary with [0]=cup, [1]=disc.
-    Colors per the reference: prediction disc green / cup blue, GT red."""
+
+    Reference drawing (utils.py:385-450): prediction maps get their border
+    ring zeroed (contours close at the frame), then the disc contour paints
+    green and the cup contour blue (the reference's ``disc_map``/``cup_map``
+    locals are name-swapped relative to their content — prob_map[1] is the
+    disc-union channel drawn [0,255,0] — so green-disc/blue-cup is its actual
+    output); GT cup+disc contours paint red last, through
+    largest-CC + fill-holes (``get_largest_fillhole``, utils.py:423-425)."""
+    from wt_pse_tpu.ops.postprocess import largest_component_fill_holes
+
     out = image_u8.copy()
-    disc_b = mask_boundary(pred_2ch[1])
-    cup_b = mask_boundary(pred_2ch[0])
-    gt_d = mask_boundary(gt_2ch[1])
-    gt_c = mask_boundary(gt_2ch[0])
-    out[disc_b] = [0, 255, 0]
-    out[cup_b] = [0, 0, 255]
-    out[gt_d | gt_c] = [255, 0, 0]
+
+    def bordered(m):
+        m = np.asarray(m, np.float64).copy()
+        m[:, 0] = 0.0
+        m[:, -1] = 0.0
+        m[0, :] = 0.0
+        m[-1, :] = 0.0
+        return m
+
+    _paint_points(out, find_contour_points(bordered(pred_2ch[1])), [0, 255, 0])
+    _paint_points(out, find_contour_points(bordered(pred_2ch[0])), [0, 0, 255])
+    for ch in (0, 1):
+        gt = largest_component_fill_holes(np.asarray(gt_2ch[ch]) > 0.5)
+        _paint_points(out, find_contour_points(gt.astype(np.float64)),
+                      [255, 0, 0])
     return out
 
 
