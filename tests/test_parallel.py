@@ -101,6 +101,32 @@ def test_trainer_dp_product_path_matches_single_device(tmp_path):
         assert flat.mean() <= 6 * lr, net
 
 
+def test_trainer_auto_dp_degrades_and_explicit_dp_is_strict(tmp_path):
+    """dp=None (auto) picks the largest mesh the per-domain batch divides —
+    down to plain single-device for pdb=1 (so every pre-DP Trainer call is
+    untouched on a multi-device host) — while an explicit dp=True with an
+    indivisible batch raises."""
+    import pytest as _pytest
+
+    from wt_pse_tpu.train.trainer import Trainer
+
+    hw = 32
+    domains, val = _trainer_domains(hw)
+    kw = dict(hparams=default_hparams("WT_PSE"), train_domains=domains,
+              val_domain=val, label="OD", max_epoch=1, interval_validate=99,
+              seed=1, image_size=hw, val_visualization=False)
+    # auto + pdb=1: degrade all the way to the plain path
+    t = Trainer(out_dir=str(tmp_path / "a"), batch_size=3, **kw)
+    assert t.dp is False and t.n_dev == 1 and t.mesh is None
+    # auto + pdb=3 on 8 devices: largest divisor mesh = 3
+    t3 = Trainer(out_dir=str(tmp_path / "b"), batch_size=9, **kw)
+    assert t3.dp is True and t3.n_dev == 3
+    # explicit dp with an indivisible batch refuses
+    with _pytest.raises(ValueError, match="divisible"):
+        Trainer(out_dir=str(tmp_path / "c"), batch_size=3, dp=True,
+                dp_devices=2, **kw)
+
+
 def test_trainer_dp_multidevice_trains_and_validates(tmp_path):
     """Trainer(dp=True) on a real multi-device mesh: 2 scan-driven epochs with
     per-device sampling + sync-BN, then a batch-sharded validation; finite

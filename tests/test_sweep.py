@@ -42,6 +42,12 @@ def test_sweep_cli_job_args(tmp_path):
     assert ns.out.endswith("target3_OC")
     # the original namespace is untouched (each job gets its own copy)
     assert args.label != "OC" or args.datasetTest != [3]
+    # auto-DP must NOT leak into sweep jobs: each job owns one device; only an
+    # explicit --dp opts in (cli/sweep.job_args)
+    assert ns.dp is False
+    args_dp, _ = sweep_cli.build_parser().parse_known_args(
+        ["--data-dir", "/d", "--targets", "3", "--labels", "OD", "--dp"])
+    assert sweep_cli.job_args(args_dp, job, str(tmp_path)).dp is True
 
 
 def test_sweep_cli_end_to_end_stubbed(tmp_path, monkeypatch):

@@ -50,6 +50,12 @@ def job_args(args: argparse.Namespace, job: SweepJob,
     ns.datasetTest = [job.target_domain]
     ns.label = job.label
     ns.out = os.path.join(out_root, f"target{job.target_domain}_{job.label}")
+    if ns.dp is None:
+        # sweep parallelism IS the device decomposition here: each job owns one
+        # device (run_sweep's round-robin + jax.default_device). The train
+        # CLI's auto-DP (dp=None -> shard over ALL devices) would make every
+        # job grab the whole slice; only an explicit --dp opts a job into it.
+        ns.dp = False
     return ns
 
 

@@ -142,7 +142,8 @@ class Trainer:
         self.iter_per_epoch = max(total // batch_size, 1)
 
         devs = list(devices) if devices is not None else jax.devices()
-        if dp is None:
+        auto_dp = dp is None
+        if auto_dp:
             dp = len(devs) > 1  # auto: use the slice when one is there
         self.dp = bool(dp)
         self.n_dev = 1
@@ -150,12 +151,25 @@ class Trainer:
         if self.dp:
             self.n_dev = min(dp_devices or len(devs), len(devs))
             if self.per_domain_batch % self.n_dev:
-                raise ValueError(
-                    f"data parallelism needs per-domain batch "
-                    f"{self.per_domain_batch} (batch_size // domains) divisible "
-                    f"by the {self.n_dev}-device mesh; pick batch_size as a "
-                    f"multiple of {self.domain_num * self.n_dev} or cap "
-                    f"dp_devices")
+                if not auto_dp:
+                    raise ValueError(
+                        f"data parallelism needs per-domain batch "
+                        f"{self.per_domain_batch} (batch_size // domains) "
+                        f"divisible by the {self.n_dev}-device mesh; pick "
+                        f"batch_size as a multiple of "
+                        f"{self.domain_num * self.n_dev} or cap dp_devices")
+                # auto mode degrades instead of raising: the largest mesh the
+                # per-domain batch divides (possibly 1 -> plain single-device)
+                while self.per_domain_batch % self.n_dev:
+                    self.n_dev -= 1
+                if self.n_dev < (dp_devices or len(devs)):
+                    print(f"[trainer] auto-DP: per-domain batch "
+                          f"{self.per_domain_batch} not divisible by "
+                          f"{len(devs)} devices - using a {self.n_dev}-device "
+                          "mesh (pass dp=True to make this an error)")
+            if self.n_dev == 1 and auto_dp:
+                self.dp = False  # no point sharding over one device
+        if self.dp:
             from wt_pse_tpu.parallel.mesh import data_mesh
 
             self.mesh = data_mesh(self.n_dev, devices=devs)
