@@ -173,9 +173,13 @@ def main(argv=None):
             hw = od_masks[i].shape[-2:]
             od_l = np.asarray(resize_bilinear(out_od, hw))[0, ..., 0]
             oc_l = np.asarray(resize_bilinear(out_oc, hw))[0, ..., 0]
-            pred = np.stack([
-                postprocess_logits(oc_l[None], label=args.label)[0],
-                postprocess_logits(od_l[None], label=args.label)[0]])
+            p_oc = postprocess_logits(oc_l[None], label=args.label)[0]
+            p_od = postprocess_logits(od_l[None], label=args.label)[0]
+            # reference channel construction (test_visulization.py:243-249):
+            # mask[pred_od==1]=[0,1]; mask[pred_oc==1]=[1,1] — the disc
+            # channel is the UNION od|oc (cup pixels set it too), the cup
+            # channel is oc alone
+            pred = np.stack([p_oc, np.maximum(p_od, p_oc)])
             gt = np.stack([oc_masks[i], od_masks[i]])
             from wt_pse_tpu.models.layers import resize_bilinear as _rb
             native_img = np.asarray(_rb(
