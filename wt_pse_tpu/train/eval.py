@@ -192,7 +192,10 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
             if pad:
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad,) + stacked.shape[1:], stacked.dtype)])
-            img = jnp.asarray(stacked / 127.5 - 1.0)
+            # host numpy in: jit device_puts it itself (and under multi-host
+            # training a locally-placed jnp array would be rejected by the
+            # global replicated program)
+            img = stacked / 127.5 - 1.0
             out_od, out_oc = predict_fn(*variables, img)
             if resize == "host":
                 # slice the zero-padded rows off BEFORE the host resize — the

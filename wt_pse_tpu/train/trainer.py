@@ -115,7 +115,12 @@ class Trainer:
         self.hparams = dict(hparams)
         self.label = label
         self.out = out_dir
-        self.logger = RunLogger(out_dir, tensorboard=tensorboard)
+        # multi-host: every process runs the identical loop on replicated
+        # state (multi-controller JAX), so process 0 owns all run-dir
+        # artifacts and the others get a write-nothing logger
+        self.is_main_process = jax.process_index() == 0
+        self.logger = RunLogger(out_dir, tensorboard=tensorboard,
+                                null=not self.is_main_process)
         self.max_epoch = max_epoch
         self.stop_epoch = stop_epoch if stop_epoch is not None else max_epoch
         self.interval_validate = interval_validate
@@ -359,7 +364,15 @@ class Trainer:
                 self.main_od, self.stud_od, self.main_oc, self.stud_oc,
                 packed=bool(fast_validation and self.cfg.s2d))
         if self.dp:
-            if eval_batch_size % self.n_dev == 0:
+            if jax.process_count() > 1:
+                # multi-host: the batch-sharded predict would emit
+                # non-fully-addressable outputs that the host metric loop
+                # cannot np.asarray; the unsharded predict on replicated
+                # variables is itself a (redundant, identical) global
+                # computation every process runs in lockstep
+                print("[trainer] multi-host run: validation predict stays "
+                      "unsharded (replicated compute on every process)")
+            elif eval_batch_size % self.n_dev == 0:
                 # validation rides the same mesh: batch dim sharded over
                 # 'data', variables replicated (eval pads every chunk to
                 # eval_batch_size, so the compiled shape always divides)
@@ -444,6 +457,27 @@ class Trainer:
             print(f"resumed from {resume} at step {int(self.state.step)} "
                   f"(epoch {self.epoch})")
 
+        if self.dp and jax.process_count() > 1:
+            # multi-controller JAX: inputs to a computation over the global
+            # mesh must be GLOBAL arrays — process-local (or host) arrays are
+            # rejected. State and the HBM dataset are identical on every
+            # process (same seed / same files), so lift them to fully
+            # replicated global arrays; done LAST so resume restores first.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+
+            def lift(x):
+                a = np.asarray(x)
+                return jax.make_array_from_callback(
+                    a.shape, rep, lambda idx: a[idx])
+
+            self.state = jax.tree.map(lift, self.state)
+            self.data = jax.tree.map(lift, self.data)
+            self.run_key = lift(self.run_key)
+            print(f"[trainer] multi-host: state+data+key lifted to global "
+                  f"replicated arrays over {jax.process_count()} processes")
+
     # ------------------------------------------------------------------
 
     def _save_val_montage(self, variables):
@@ -460,7 +494,9 @@ class Trainer:
             img = np.concatenate(
                 [img, np.zeros((bs - img.shape[0],) + img.shape[1:], img.dtype)])
         norm = img / 127.5 - 1.0
-        out_od, out_oc = self.predict_fn(*variables, jnp.asarray(norm))
+        # host numpy in: jit device_puts it itself — and under multi-host a
+        # locally-placed jnp array would be rejected by the global program
+        out_od, out_oc = self.predict_fn(*variables, norm)
         out_od, out_oc = np.asarray(out_od), np.asarray(out_oc)
         pred_od = (1.0 / (1.0 + np.exp(-out_od[..., 0])) > 0.75)
         pred_oc = (1.0 / (1.0 + np.exp(-out_oc[..., 0])) > 0.75)
@@ -470,6 +506,8 @@ class Trainer:
                 np.stack([pred_oc[i], pred_od[i]]).astype(np.float32),
                 np.stack([self._val_oc_256[i], self._val_od_256[i]]))
             for i in range(k)]
+        if not self.is_main_process:
+            return  # compute ran on every process (global program); one writer
         path = save_val_img(self.out, self.epoch, montages)
         from PIL import Image
 
@@ -687,14 +725,20 @@ class Trainer:
                     self.best_list = [val["cup_dice"], val["cup_hd"], val["cup_asd"],
                                       val["disc_dice"], val["disc_hd"], val["disc_asd"]]
                     self.logger.best_score(val)
+                    # orbax coordinates multi-process saves itself (primary
+                    # host writes, all processes barrier) — EVERY process must
+                    # call it; a process-0-only call deadlocks in the barrier
+                    # (verified empirically on a 2-process cluster)
                     save_ensemble(
-                        os.path.join(self.out, f"checkpoint_{epoch + 1}"), self.state)
-                    import json as _json
+                        os.path.join(self.out, f"checkpoint_{epoch + 1}"),
+                        self.state)
+                    if self.is_main_process:
+                        import json as _json
 
-                    with open(os.path.join(self.out, "best.json"), "w") as f:
-                        _json.dump({"objective": self.best["objective"],
-                                    "epoch": self.best["epoch"],
-                                    "best_list": self.best_list}, f)
+                        with open(os.path.join(self.out, "best.json"), "w") as f:
+                            _json.dump({"objective": self.best["objective"],
+                                        "epoch": self.best["epoch"],
+                                        "best_list": self.best_list}, f)
                 elif (epoch + 1) % 300 == 0:
                     # reference parity (Trainer.py:293-303): non-best validations
                     # still write a periodic resume-style checkpoint every 300

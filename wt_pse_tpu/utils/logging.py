@@ -20,19 +20,27 @@ LOG_HEADERS = [
 
 
 class RunLogger:
-    def __init__(self, out_dir: str, tensorboard: bool = False):
+    def __init__(self, out_dir: str, tensorboard: bool = False,
+                 null: bool = False):
+        """``null=True``: a write-nothing logger (every method is a no-op).
+        Used by non-zero processes in multi-host training — all processes run
+        the identical loop on replicated state, so only process 0 owns the run
+        directory (two processes appending the same shared file would race)."""
         self.out = out_dir
-        os.makedirs(out_dir, exist_ok=True)
+        self.null = null
         self.t0 = time.time()
+        self.tb = None
         self.csv_path = os.path.join(out_dir, "log.csv")
+        self.jsonl_path = os.path.join(out_dir, "metrics.jsonl")
+        if null:
+            return
+        os.makedirs(out_dir, exist_ok=True)
         if not os.path.exists(self.csv_path):
             with open(self.csv_path, "w") as f:
                 f.write(",".join(LOG_HEADERS) + "\n")
-        self.jsonl_path = os.path.join(out_dir, "metrics.jsonl")
         # optional TensorBoard event files (the reference writes tensorboardX
         # events under out/tensorboard/, Trainer.py:120-122); torch's writer
         # emits the same format
-        self.tb = None
         if tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -43,6 +51,8 @@ class RunLogger:
                 self.tb = None
 
     def scalars(self, step: int, payload: dict):
+        if self.null:
+            return
         rec = {"step": step, "t": round(time.time() - self.t0, 3)}
         rec.update({k: float(v) for k, v in payload.items()})
         with open(self.jsonl_path, "a") as f:
@@ -67,6 +77,8 @@ class RunLogger:
         (the scan driver hands over thousands of per-step records at the epoch
         boundary — per-record open/close there is pure syscall overhead).
         ``records`` is an iterable of ``(iteration, payload)`` pairs."""
+        if self.null:
+            return
         t = round(time.time() - self.t0, 3)
         lines = []
         for iteration, payload in records:
@@ -89,6 +101,8 @@ class RunLogger:
         the reference's tensorboard stream record per-iteration running values —
         those live in metrics.jsonl ``kind=step`` records instead). ``val``
         fills the valid/* columns on validation epochs."""
+        if self.null:
+            return
         fmt = lambda v: "" if v is None else round(v, 6)
         row = [epoch, iteration, round(loss_seg, 6), fmt(train_cup),
                fmt(train_disc),
@@ -102,6 +116,8 @@ class RunLogger:
         """Log an (H,W,3) uint8 image: PNG under ``images/`` (always) and a
         TensorBoard ``add_image`` when the writer is live (the reference writes
         train/val grids to tensorboardX every 30 iterations, Trainer.py:929-954)."""
+        if self.null:
+            return
         import numpy as np
 
         arr = np.asarray(img)
@@ -124,12 +140,16 @@ class RunLogger:
         """Per-epoch loss-trace txt files, joint-epoch parity
         (Trainer.py:706-720): one ``<name>.txt`` per key, one appended line per
         epoch, ``'{}\\n'.format(value)`` spelling (so 0.0 prints as ``0.0``)."""
+        if self.null:
+            return
         for name, v in values.items():
             with open(os.path.join(self.out, f"{name}.txt"), "a") as f:
                 f.write("{}\n".format(v))
 
     def best_score(self, val: dict):
         """score.txt appended on each new best (Trainer.py:279-281 format)."""
+        if self.null:
+            return
         with open(os.path.join(self.out, "score.txt"), "a") as f:
             f.write(
                 "cd:{} dd:{} c_hd:{} d_hd:{} c_asd:{} d_asd:{}\n".format(
