@@ -1,0 +1,70 @@
+"""The one-call inference API (`wt_pse_tpu.load_predictor`)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+pytestmark = pytest.mark.slow  # compiles the two-stage predict (CPU ~1 min)
+
+HW = 64
+
+
+def _reference_format_ckpt(path):
+    """A reference-layout .pth.tar ({model, model_shape, model_oc,
+    model_oc_shape}, Trainer.py:282-288) from the golden torch mirrors."""
+    import torch_ref
+
+    torch.manual_seed(3)
+    return_path = str(path / "checkpoint_1.pth.tar")
+    torch.save({
+        "model": torch_ref.WTPSE(16).state_dict(),
+        "model_shape": torch_ref.Student(16).state_dict(),
+        "model_oc": torch_ref.WTPSE(16).state_dict(),
+        "model_oc_shape": torch_ref.Student(16).state_dict(),
+    }, return_path)
+    return return_path
+
+
+def test_load_predictor_torch_ckpt(tmp_path):
+    import wt_pse_tpu as w
+
+    ckpt = _reference_format_ckpt(tmp_path)
+    predict = w.load_predictor(ckpt)
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(2, HW, HW, 3) * 255).astype(np.uint8)
+    out = predict(imgs)
+    assert set(out) == {"od", "oc", "od_logits", "oc_logits"}
+    assert out["od_logits"].shape == (2, HW, HW, 1)
+    assert out["od"].shape == (2, HW, HW) and out["od"].dtype == np.uint8
+    assert np.isfinite(out["od_logits"]).all()
+    # uint8 and pre-normalized float inputs give the same result
+    out2 = predict(imgs.astype(np.float32) / 127.5 - 1.0, postprocess=False)
+    np.testing.assert_allclose(out2["oc_logits"], out["oc_logits"], atol=1e-6)
+    # a single unbatched image is auto-batched
+    one = predict(imgs[0], postprocess=False)
+    assert one["od_logits"].shape == (1, HW, HW, 1)
+
+
+def test_load_predictor_orbax_dir(tmp_path):
+    import wt_pse_tpu as w
+    from wt_pse_tpu.config import default_hparams
+    from wt_pse_tpu.io.checkpoint import save_ensemble
+    from wt_pse_tpu.models.common import ModelConfig
+    from wt_pse_tpu.models.shape_prior import ShapeStudent
+    from wt_pse_tpu.models.wt_pse import WTPSE
+    from wt_pse_tpu.train.state import init_ensemble
+
+    cfg = ModelConfig.from_hparams(default_hparams("WT_PSE"))
+    nets = (WTPSE(cfg), ShapeStudent(cfg), WTPSE(cfg, two_step=True),
+            ShapeStudent(cfg))
+    state, _ = init_ensemble(*nets, (1, HW, HW, 3), jax.random.PRNGKey(0))
+    ck = str(tmp_path / "ensemble")
+    save_ensemble(ck, state)
+
+    predict = w.load_predictor(ck)
+    imgs = (np.random.RandomState(1).rand(1, HW, HW, 3) * 255).astype(np.uint8)
+    out = predict(imgs)
+    assert out["oc"].shape == (1, HW, HW)
+    assert np.isfinite(out["oc_logits"]).all()

@@ -45,6 +45,8 @@ def __getattr__(name):
         "load_config": ("wt_pse_tpu.config", "load_config"),
         "load_reference_checkpoint": ("wt_pse_tpu.io.torch_import",
                                       "load_reference_checkpoint"),
+        "load_predictor": ("wt_pse_tpu.api", "load_predictor"),
+        "Predictor": ("wt_pse_tpu.api", "Predictor"),
     }
     if name in _api:
         import importlib

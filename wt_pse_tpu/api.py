@@ -1,0 +1,100 @@
+"""One-call inference API.
+
+A user of the reference runs inference by editing module-level constants in
+``test_visulization.py`` and re-running the script (``/root/reference/
+test_visulization.py:35-39,122-230``). Here the same capability is a library
+call::
+
+    import wt_pse_tpu as w
+    predict = w.load_predictor("checkpoint_800.pth.tar")   # or an orbax dir
+    masks = predict(images)          # (B,H,W,3) uint8 or [-1,1] float
+    masks["od"], masks["oc"]         # post-processed binary masks (B,H,W)
+    masks["od_logits"], ...          # raw 256x256 logits if needed
+
+``load_predictor`` accepts both checkpoint formats the framework reads:
+the reference's 4-net ``.pth.tar`` (``{model, model_shape, model_oc,
+model_oc_shape}``, ``Trainer.py:282-288``) and an orbax ensemble directory
+written by :class:`wt_pse_tpu.train.trainer.Trainer`. Inference is the exact
+two-stage eval path (coarse OD -> thresholded ROI -> fine OC,
+``Trainer.py:170-184``), jitted once per input shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class Predictor:
+    """Callable wrapper over the jitted two-stage predict.
+
+    ``__call__(images, postprocess=True)``:
+
+    - ``images``: (B, H, W, 3) — uint8 in [0,255] (normalized internally with
+      the reference's ``Normalize_tf``: x/127.5-1, ``custom_transforms.py:
+      455-499``) or float already in [-1, 1].
+    - returns a dict with ``od``/``oc`` post-processed binary masks
+      (sigmoid > 0.75 -> largest-CC -> fill-holes, ``utils.py:278-329``) and
+      the raw ``od_logits``/``oc_logits``.
+    """
+
+    def __init__(self, predict_fn, variables, label: str | None = "OD"):
+        self._predict = predict_fn
+        self._variables = variables
+        self._label = label
+
+    def __call__(self, images: np.ndarray, postprocess: bool = True) -> dict:
+        from wt_pse_tpu.ops.postprocess import postprocess_logits
+
+        arr = np.asarray(images)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 127.5 - 1.0
+        arr = np.asarray(arr, np.float32)
+        out_od, out_oc = self._predict(*self._variables, arr)
+        out = {"od_logits": np.asarray(out_od), "oc_logits": np.asarray(out_oc)}
+        if postprocess:
+            out["od"] = np.stack([
+                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
+                for o in out["od_logits"]])
+            out["oc"] = np.stack([
+                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
+                for o in out["oc_logits"]])
+        return out
+
+
+def load_predictor(model_file: str, hparams: dict | None = None,
+                   algorithm: str = "WT_PSE", label: str | None = "OD",
+                   partial_load: bool = False) -> Predictor:
+    """Build a :class:`Predictor` from a checkpoint.
+
+    ``model_file``: a reference-format ``.pth.tar`` or an orbax ensemble
+    directory. ``hparams`` defaults to the algorithm's registry defaults —
+    pass overrides for ablation checkpoints (e.g. ``{"whitening": False}``,
+    with ``partial_load=True`` to restore the reference's filtered partial
+    load, ``test_visulization.py:132-197``).
+    """
+    from wt_pse_tpu.cli.test_visualization import (
+        build_networks_from_orbax, build_networks_from_torch_ckpt)
+    from wt_pse_tpu.config import default_hparams
+
+    hp = dict(default_hparams(algorithm))
+    hp.update(hparams or {})
+    n_classes = 1 if label in ("OC", "OD") else 2
+    if os.path.isdir(model_file):
+        nets, variables = build_networks_from_orbax(
+            model_file, hp, n_classes, algorithm)
+    else:
+        nets, variables = build_networks_from_torch_ckpt(
+            model_file, hp, n_classes, algorithm, strict=not partial_load)
+    if algorithm == "Unet_nips2023_joint_shape_regularization":
+        from wt_pse_tpu.train.eval import make_predict_fn_joint
+
+        predict_fn = make_predict_fn_joint(nets[0], nets[2])
+    else:
+        from wt_pse_tpu.train.eval import make_predict_fn
+
+        predict_fn = make_predict_fn(*nets)
+    return Predictor(predict_fn, variables, label)
