@@ -123,9 +123,11 @@ def emit(note: str) -> bool:
     if b36 is not None:
         b36 = dict(b36)
         own36 = b36.pop("_own_flops", None)
-        basis36 = (sem * 4 if sem else own36)  # flops scale linearly in batch
+        nb = b36.get("batch", 36)
+        # flops scale linearly in batch -> semantic basis = sem * nb/B
+        basis36 = (sem * nb / B if sem else own36)
         if basis36:
-            b36["mfu"] = round(basis36 * (b36["ips"] / 36) / PEAK_FLOPS, 4)
+            b36["mfu"] = round(basis36 * (b36["ips"] / nb) / PEAK_FLOPS, 4)
         rec["batch36"] = b36
     print(json.dumps(rec), flush=True)
     return True
@@ -304,7 +306,10 @@ def jax_train_ips() -> float:
         trainer = Trainer(
             hparams=hp, train_domains=doms, val_domain=val,
             out_dir=f"/tmp/bench_run_{mode}", label="OD", batch_size=batch,
-            max_epoch=1, interval_validate=99, seed=1, val_visualization=False)
+            max_epoch=1, interval_validate=99, seed=1, val_visualization=False,
+            dp=False)  # per-CHIP metric: auto-DP on a multi-chip host would
+        # silently spread the step over the slice while the record still says
+        # images/sec/chip and MFU against one chip's peak
         log(f"[{mode}] trainer built")
 
         # production path: one lax.scan program per epoch (Trainer.train's
@@ -341,7 +346,7 @@ def jax_train_ips() -> float:
 
         def bank(ips):
             if batch != B:  # batch-scaling data point, not the headline
-                progress["batch36"] = {"ips": round(ips, 2),
+                progress["batch36"] = {"ips": round(ips, 2), "batch": batch,
                                        "_own_flops": flops_step}
             elif progress["ips"] is None or ips > progress["ips"]:
                 progress["ips"], progress["mode"] = ips, mode

@@ -47,6 +47,28 @@ def test_load_predictor_torch_ckpt(tmp_path):
     assert one["od_logits"].shape == (1, HW, HW, 1)
 
 
+def test_predictor_native_resolution_resize(tmp_path):
+    """Non-network-resolution inputs take the reference pipeline: LANCZOS
+    down to the network size (fundus_dataloader.py:164-197), predict, logits
+    bilinearly upsampled back to the input resolution before post-processing
+    (Trainer.py:206-209) — outputs come back at the INPUT resolution, and the
+    convnets never run off-distribution at native size."""
+    import wt_pse_tpu as w
+
+    ckpt = _reference_format_ckpt(tmp_path)
+    p = w.load_predictor(ckpt)
+    p._size = HW  # shrink the network resolution for CPU test speed
+    rng = np.random.RandomState(2)
+    native = (rng.rand(2, 96, 96, 3) * 255).astype(np.uint8)
+    out = p(native)
+    assert out["od_logits"].shape == (2, 96, 96, 1)
+    assert out["od"].shape == (2, 96, 96)
+    assert np.isfinite(out["od_logits"]).all()
+    # float [-1,1] input resizes through the same uint8 LANCZOS parity path
+    out_f = p(native.astype(np.float32) / 127.5 - 1.0, postprocess=False)
+    np.testing.assert_allclose(out_f["od_logits"], out["od_logits"], atol=1e-5)
+
+
 def test_load_predictor_orbax_dir(tmp_path):
     import wt_pse_tpu as w
     from wt_pse_tpu.config import default_hparams

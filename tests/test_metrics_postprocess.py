@@ -147,3 +147,33 @@ def test_evaluate_domain_label_none_two_class_mode():
     # HD/ASD compare channel 0 (cup) of each model per the reference quirk:
     # perfect prediction -> 0 distance
     assert res["cup_hd"] < 1e-6 and res["disc_hd"] < 1e-6
+
+
+def test_score_one_empty_gt_ordering():
+    """Reference parity for empty masks (Trainer.py:219-238): the empty-
+    PREDICTION sentinel is checked first, so an empty GT only matters (and
+    raises, like the reference's medpy crash) when the prediction is
+    non-empty."""
+    from wt_pse_tpu.train.eval import _score_one
+
+    hw = 24
+    empty = np.zeros((hw, hw), np.float32)
+    blob = np.zeros((hw, hw), np.float32)
+    blob[8:16, 8:16] = 1.0
+    neg_logits = np.full((1, hw, hw), -10.0, np.float32)   # empty prediction
+    pos_logits = np.full((1, hw, hw), -10.0, np.float32)
+    pos_logits[0, 8:16, 8:16] = 10.0                       # blob prediction
+
+    # empty GT + empty pred: the 100.0 sentinel wins, no raise
+    res = _score_one(neg_logits, neg_logits, empty, empty, "OD")
+    assert res["disc_hd"] == 100.0 and res["cup_asd"] == 100.0
+
+    # empty GT + non-empty pred: the metric is undefined -> clear raise
+    with pytest.raises(ValueError, match="empty ground-truth"):
+        _score_one(pos_logits, neg_logits, empty, blob, "OD")
+    with pytest.raises(ValueError, match="OC"):
+        _score_one(neg_logits, pos_logits, blob, empty, "OD")
+
+    # non-empty GT + non-empty pred: normal scoring
+    res = _score_one(pos_logits, pos_logits, blob, blob, "OD")
+    assert res["disc_dice"] > 0.9 and res["disc_hd"] == 0.0

@@ -33,35 +33,64 @@ class Predictor:
 
     - ``images``: (B, H, W, 3) — uint8 in [0,255] (normalized internally with
       the reference's ``Normalize_tf``: x/127.5-1, ``custom_transforms.py:
-      455-499``) or float already in [-1, 1].
-    - returns a dict with ``od``/``oc`` post-processed binary masks
-      (sigmoid > 0.75 -> largest-CC -> fill-holes, ``utils.py:278-329``) and
-      the raw ``od_logits``/``oc_logits``.
+      455-499``) or float already in [-1, 1]. Any resolution: non-256 inputs
+      are LANCZOS-resized to the network resolution exactly like the
+      reference's loader (``fundus_dataloader.py:164-197``; float inputs
+      round-trip through the same uint8 path — the checkpoints were trained
+      on 256² and running the convnets at native resolution would be
+      silently off-distribution).
+    - returns ``od``/``oc`` post-processed binary masks (sigmoid > 0.75 ->
+      largest-CC -> fill-holes, ``utils.py:278-329``) and the raw
+      ``od_logits``/``oc_logits`` — both AT THE INPUT RESOLUTION (non-256
+      logits are bilinearly upsampled back before post-processing, the
+      reference's ``Trainer.py:206-209`` / ``test_visulization.py:227-230``
+      native-label semantics).
     """
 
-    def __init__(self, predict_fn, variables, label: str | None = "OD"):
+    def __init__(self, predict_fn, variables, label: str | None = "OD",
+                 image_size: int = 256):
         self._predict = predict_fn
         self._variables = variables
         self._label = label
+        self._size = image_size
 
     def __call__(self, images: np.ndarray, postprocess: bool = True) -> dict:
         from wt_pse_tpu.ops.postprocess import postprocess_logits
+        from wt_pse_tpu.train.eval import _resize_host
 
         arr = np.asarray(images)
         if arr.ndim == 3:
             arr = arr[None]
+        native_hw = arr.shape[1:3]
+        resize = native_hw != (self._size, self._size)
+        if resize:
+            from PIL import Image
+
+            if arr.dtype != np.uint8:  # parity: the loader decodes uint8 PIL
+                # round, don't truncate: x/127.5*127.5 lands 1 ulp below the
+                # integer for many uint8 origins, and truncation would shift
+                # those pixels a full gray level
+                arr = np.clip(np.rint((np.asarray(arr, np.float32) + 1.0)
+                                      * 127.5), 0, 255).astype(np.uint8)
+            arr = np.stack([
+                np.asarray(Image.fromarray(im).resize(
+                    (self._size, self._size), Image.LANCZOS)) for im in arr])
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 127.5 - 1.0
         arr = np.asarray(arr, np.float32)
         out_od, out_oc = self._predict(*self._variables, arr)
-        out = {"od_logits": np.asarray(out_od), "oc_logits": np.asarray(out_oc)}
+        od_l, oc_l = np.asarray(out_od), np.asarray(out_oc)
+        if resize:  # logits back to the input resolution (Trainer.py:206-209)
+            od_l = _resize_host(od_l, native_hw)
+            oc_l = _resize_host(oc_l, native_hw)
+        out = {"od_logits": od_l, "oc_logits": oc_l}
         if postprocess:
             out["od"] = np.stack([
                 postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
-                for o in out["od_logits"]])
+                for o in od_l])
             out["oc"] = np.stack([
                 postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
-                for o in out["oc_logits"]])
+                for o in oc_l])
         return out
 
 

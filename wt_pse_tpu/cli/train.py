@@ -118,8 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", dest="dp", action="store_true", default=None,
                    help="force shard_map data parallelism over all visible "
                         "devices (sync-BN, grad pmean, MMD all_gather over "
-                        "ICI). Default: auto — enabled whenever "
-                        "jax.device_count() > 1 [addition over the reference]")
+                        "ICI). Default: auto — enabled whenever more than one "
+                        "device is visible; note auto-DP changes the per-seed "
+                        "RNG decomposition vs a single-chip run (use --no-dp "
+                        "to reproduce single-device numerics) [addition over "
+                        "the reference]")
     p.add_argument("--no-dp", dest="dp", action="store_false",
                    help="force single-device training even on a multi-chip "
                         "slice")

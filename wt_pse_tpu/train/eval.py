@@ -254,26 +254,35 @@ def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,
         cup_dice, _ = M.dice_coeff_2label(pred_oc[None], oc_gt[None], label)
 
     as_bool = lambda x: np.asarray(x, dtype=bool)
-    for name, gt in (("OD", od_gt), ("OC", oc_gt)):
+
+    def require_nonempty_gt(name, gt):
+        # reference parity: the empty-PREDICTION sentinel is checked FIRST
+        # (Trainer.py:219-233) — medpy only ever sees (and crashes on) an
+        # empty ground-truth mask when the prediction is non-empty, so the
+        # guard lives inside the else branches below. Raise with a clear
+        # message instead of medpy's shape error; the fast_validation
+        # (device) path applies the 100.0 sentinel instead — a documented
+        # host/device divergence (train/eval_device.py:77-84). The mask
+        # checked is the one the metric actually compares against (for
+        # label=None both surfaces compare channel 0, the reference's own
+        # channel quirk — see the docstring above).
         if np.asarray(gt).sum() < 1:
-            # reference parity: medpy raises on an empty ground-truth mask
-            # (there is no surface to measure a distance to). Raise with a
-            # clear message instead of medpy's shape error; note the
-            # fast_validation (device) path instead applies the empty-PRED
-            # 100.0 sentinel there — a documented host/device divergence
-            # (train/eval_device.py:77-84).
             raise ValueError(
-                f"empty {name} ground-truth mask: surface-distance metrics "
-                "are undefined (the reference's medpy path crashes here too); "
-                "fast_validation=True would report the 100.0 sentinel instead")
+                f"empty ground-truth mask in the {name} surface-distance "
+                "comparison: the metric is undefined (the reference's medpy "
+                "path crashes here too); fast_validation=True would report "
+                "the 100.0 sentinel instead")
+
     if pred_oc.sum() < 1e-4:
         cup_hd = cup_asd = 100.0
     else:
+        require_nonempty_gt("OC", oc_gt)
         cup_hd = M.hd95(as_bool(pred_oc), as_bool(oc_gt))
         cup_asd = M.asd(as_bool(pred_oc), as_bool(oc_gt))
     if pred_od.sum() < 1e-4:
         disc_hd = disc_asd = 100.0
     else:
+        require_nonempty_gt("OD", od_gt)
         disc_hd = M.hd95(as_bool(pred_od), as_bool(od_gt))
         disc_asd = M.asd(as_bool(pred_od), as_bool(od_gt))
     return {"cup_dice": cup_dice, "disc_dice": disc_dice, "cup_hd": cup_hd,

@@ -111,7 +111,14 @@ class Trainer:
         State (params, optimizer, BN) stays replicated — checkpoints and resume
         are device-count-independent. ``devices`` overrides the device list
         (default ``jax.devices()`` — needed e.g. to train on the virtual CPU
-        mesh when the process's default backend is a single real chip)."""
+        mesh when the process's default backend is a single real chip).
+
+        Reproducibility note: auto-DP changes the per-seed RNG decomposition
+        (each device folds its ``axis_index`` into the sample stream) and BN
+        summation order vs a single-device run, so the same seed takes a
+        different — statistically equivalent — trajectory on a multi-device
+        host than on one chip. Pass ``dp=False`` (CLI ``--no-dp``) to
+        reproduce single-device numerics exactly."""
         self.hparams = dict(hparams)
         self.label = label
         self.out = out_dir
@@ -165,13 +172,13 @@ class Trainer:
                         f"{self.domain_num * self.n_dev} or cap dp_devices")
                 # auto mode degrades instead of raising: the largest mesh the
                 # per-domain batch divides (possibly 1 -> plain single-device)
+                start = self.n_dev
                 while self.per_domain_batch % self.n_dev:
                     self.n_dev -= 1
-                if self.n_dev < (dp_devices or len(devs)):
-                    print(f"[trainer] auto-DP: per-domain batch "
-                          f"{self.per_domain_batch} not divisible by "
-                          f"{len(devs)} devices - using a {self.n_dev}-device "
-                          "mesh (pass dp=True to make this an error)")
+                print(f"[trainer] auto-DP: per-domain batch "
+                      f"{self.per_domain_batch} not divisible by the "
+                      f"{start}-device mesh - using {self.n_dev} device(s) "
+                      "(pass dp=True to make this an error)")
             if self.n_dev == 1 and auto_dp:
                 self.dp = False  # no point sharding over one device
         if self.dp:
