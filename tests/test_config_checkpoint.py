@@ -116,6 +116,36 @@ def test_main_accepts_argv_list(tmp_path, monkeypatch):
     assert res["DSC_OC"] == [0.1]
 
 
+def test_running_times_seed_semantics(tmp_path, monkeypatch):
+    """Documented deviation (cli/train.py): run r trains with seed+r so the
+    reported std is real seed variance; --identical-reruns restores the
+    reference's re-seed-identically semantics (train.py:53-54)."""
+    from wt_pse_tpu.cli import train as train_cli
+    from wt_pse_tpu.utils import snapshot
+
+    seeds = []
+
+    class FakeTrainer:
+        def __init__(self, **kw):
+            seeds.append(kw["seed"])
+
+        def train(self):
+            return [0.1] * 6
+
+    monkeypatch.setattr(train_cli, "Trainer", FakeTrainer)
+    monkeypatch.setattr(train_cli, "load_train_domains", lambda *a, **k: [])
+    monkeypatch.setattr(train_cli, "load_fundus", lambda *a, **k: None)
+    monkeypatch.setattr(snapshot, "save_code", lambda *a, **k: None)
+
+    train_cli.main(["--out", str(tmp_path / "a"), "--running_times", "3",
+                    "--seed", "5"])
+    assert seeds == [5, 6, 7]
+    seeds.clear()
+    train_cli.main(["--out", str(tmp_path / "b"), "--running_times", "3",
+                    "--seed", "5", "--identical-reruns"])
+    assert seeds == [5, 5, 5]
+
+
 @pytest.mark.slow  # full-ensemble init + orbax save/restore (~45s); scripts/test.sh --slow
 def test_orbax_roundtrip(tmp_path):
     from wt_pse_tpu.models.common import ModelConfig
