@@ -181,11 +181,15 @@ def refstack():
         torch.Tensor.cuda, torch.nn.Module.cuda = orig_t, orig_m
 
 
+@pytest.mark.parametrize("label", ["OD", "OC"])
 def test_reference_training_checkpoint_reproduced_by_eval_cli(
-        refstack, fundus_root, tmp_path):
+        refstack, fundus_root, tmp_path, label):
     """Train the REAL reference Trainer 4 epochs -> its validate() saves a
     genuine .pth.tar and returns Dice/HD/ASD -> our eval CLI must reproduce
-    every metric through the full independent pipeline."""
+    every metric through the full independent pipeline. Parametrized over the
+    two label modes: OD keys the objective to disc dice, OC to cup
+    (Trainer.py:269-274), with the label threading through the loader,
+    postprocessing and dice channel selection on both stacks."""
     import random
 
     from torch.utils.data import DataLoader
@@ -217,7 +221,7 @@ def test_reference_training_checkpoint_reproduced_by_eval_cli(
             transform=composed_tr)
     domain_val = DL.FundusSegmentation(
         base_dir=fundus_root, phase="test", splitid=[3],
-        transform=composed_ts, state="prediction", label="OD")
+        transform=composed_ts, state="prediction", label=label)
     val_loader = DataLoader(domain_val, batch_size=4, shuffle=False,
                             num_workers=0)
 
@@ -234,7 +238,7 @@ def test_reference_training_checkpoint_reproduced_by_eval_cli(
     adam = lambda m, lr: torch.optim.Adam(m.parameters(), lr=lr,
                                           betas=(0.9, 0.99))
 
-    args = types.SimpleNamespace(label="OD", datasetTest=[3])
+    args = types.SimpleNamespace(label=label, datasetTest=[3])
     out = str(tmp_path / "ref_run")
     trainer = RefTrainer(
         algo="WT_PSE", cuda=False, hparams=hp, args=args,
@@ -250,14 +254,15 @@ def test_reference_training_checkpoint_reproduced_by_eval_cli(
     # ((3+1) % 4 == 0 and 3 > 2, Trainer.py:1048) and saves the best checkpoint
     best = trainer.train()
     cup_dice, cup_hd, cup_asd, disc_dice, disc_hd, disc_asd = best
-    assert disc_dice > 0, "reference validate never registered a best"
+    assert (disc_dice if label == "OD" else cup_dice) > 0, \
+        "reference validate never registered a best"
     ckpt = os.path.join(out, f"checkpoint_{trainer.best_epoch}.pth.tar")
     assert os.path.exists(ckpt)
 
     # ---- our full product pipeline on the reference's own checkpoint ------
     from wt_pse_tpu.cli.test_visualization import main as eval_main
 
-    res = eval_main(["--datasetTest", "3", "--label", "OD",
+    res = eval_main(["--datasetTest", "3", "--label", label,
                      "--data-dir", fundus_root, "--model-file", ckpt,
                      "--out", str(tmp_path / "vis"), "--batch-size", "4",
                      "--save-images"])
@@ -274,8 +279,9 @@ def test_reference_training_checkpoint_reproduced_by_eval_cli(
     np.testing.assert_allclose(res["cup_hd"], cup_hd, atol=0.6)
     np.testing.assert_allclose(res["disc_asd"], disc_asd, atol=0.3)
     np.testing.assert_allclose(res["cup_asd"], cup_asd, atol=0.3)
-    # objective keying parity (label=OD -> disc dice, Trainer.py:269-274)
-    assert res["objective"] == res["disc_dice"]
+    # objective keying parity (Trainer.py:269-274)
+    want_obj = "disc_dice" if label == "OD" else "cup_dice"
+    assert res["objective"] == res[want_obj]
     # the overlay artifacts of BASELINE config 1 exist
     assert os.path.exists(str(tmp_path / "vis" / "overlay" / "1.bmp"))
     assert os.path.exists(str(tmp_path / "vis" / "original_image" / "1.bmp"))
