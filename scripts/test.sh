@@ -9,7 +9,24 @@
 # 8-device parallel mesh, full-iteration torch parity — is opt-in:
 #   scripts/test.sh --slow          # everything
 #   scripts/test.sh -k whitening    # extra pytest args pass through
+#   scripts/test.sh --isolated-parity
+#       Round-end gate companion to --slow: each torch-parity file in its OWN
+#       interpreter. The parity verdicts must not depend on what ran before
+#       them in the process (r4 VERDICT weak #1: a loss comparison passed
+#       in-suite but failed standalone — f32 conv accumulation order shifts
+#       with process state); green here AND in --slow is the bar.
 cd "$(dirname "$0")/.." || exit 1
+if [ "$1" = "--isolated-parity" ]; then
+    shift
+    status=0
+    for f in tests/test_reference_parity.py tests/test_reference_parity_aux.py \
+             tests/test_step_torch_parity.py; do
+        echo "=== isolated: $f ==="
+        env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+            python -m pytest "$f" "$@" || status=1
+    done
+    exit $status
+fi
 if [ "$1" = "--slow" ]; then
     shift
     exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest tests/ "$@"

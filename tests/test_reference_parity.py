@@ -135,6 +135,52 @@ def assert_domain_mmd_matches(torch_feats, jax_feats, dom_torch_f32, dom_jax_f32
     np.testing.assert_allclose(float(dom_torch_f32.detach()), d64_t, atol=atol32)
 
 
+def bce64(logits_nhwc, target):
+    """f64 BCE truth from a side's OWN f32 logits (``Trainer.py:787`` is
+    ``BCELoss()(sigmoid(out), t)``; torch clamps the log terms at -100).
+    Returns ``(loss, probs)`` so callers can build the MVT envelope."""
+    z = np.asarray(logits_nhwc, np.float64)
+    p = 1.0 / (1.0 + np.exp(-z))
+    t = np.asarray(target, np.float64)
+    logp = np.maximum(np.log(np.maximum(p, 1e-300)), -100.0)
+    log1mp = np.maximum(np.log1p(-np.minimum(p, 1.0 - 1e-300)), -100.0)
+    return float(-(t * logp + (1 - t) * log1mp).mean()), p
+
+
+def assert_seg_bce_matches(t_logits_nhwc, j_logits_nhwc, target, t_f32, j_f32):
+    """Well-posed seg-BCE check, same structure as ``assert_domain_mmd_matches``.
+
+    Why: the direct f32-vs-f32 comparison at rtol=1e-5 sat BELOW the measured
+    cross-framework conv-noise floor and was context-sensitive — rel diff
+    2.6e-5 when this file runs standalone (0.82619148 vs 0.82617021, twice
+    reproducibly, r4 VERDICT + re-measured r5) yet <1e-5 inside the full
+    suite: oneDNN/XLA-CPU f32 conv accumulation order depends on process
+    state (thread partitioning / buffer placement), so the LOGITS move by
+    O(1e-5..2e-4) elementwise between contexts while each side stays
+    deterministic within a context. Decomposition that is context-independent
+    by construction:
+
+    1. each framework's f32 loss vs the f64 truth of its OWN logits — pure
+       reduction rounding (measured 7.0e-9 torch / 3.7e-7 JAX; bound 5e-6);
+    2. the two f64 truths under an EXACT mean-value envelope: dBCE/dz = (p-t)/N
+       and sigmoid is monotone, so |L_t - L_j| <= mean(max(|p_t-t|,|p_j-t|)
+       * |z_t-z_j|) — data-dependent, no guessed rtol;
+    3. the envelope itself must sit at the conv-noise scale (measured 2.2e-6
+       single-test vs >=2.1e-5 in the divergent whole-file context; cap 2e-4),
+       rejecting any semantic logit divergence."""
+    z_t = np.asarray(t_logits_nhwc, np.float64)
+    z_j = np.asarray(j_logits_nhwc, np.float64)
+    tgt = np.asarray(target, np.float64)
+    L_t, p_t = bce64(z_t, tgt)
+    L_j, p_j = bce64(z_j, tgt)
+    np.testing.assert_allclose(float(t_f32), L_t, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(float(j_f32), L_j, rtol=0, atol=5e-6)
+    env = (np.maximum(np.abs(p_t - tgt), np.abs(p_j - tgt))
+           * np.abs(z_t - z_j)).mean()
+    assert abs(L_t - L_j) <= env + 1e-9, (L_t, L_j, env)
+    assert env <= 2e-4, f"logit divergence beyond conv-noise scale: env={env}"
+
+
 def _inputs(rng):
     img = rng.rand(B, HW, HW, 3).astype(np.float32) * 2 - 1
     yy, xx = np.mgrid[0:HW, 0:HW]
@@ -510,9 +556,23 @@ def test_full_iteration_matches_reference(ref, monkeypatch):
     monkeypatch.undo()
 
     # ---- losses --------------------------------------------------------
+    # The phase-1 JAX forward is replayed eagerly on the pre-step variables —
+    # bit-identical to what the (unjitted) step consumed (same variables, same
+    # injected eps; the BN forward uses batch stats, not running stats).
+    (f_out1, _, wt1), _ = f_main.apply(
+        v_main, jnp.asarray(img), jnp.asarray(tgt_od), jnp.asarray(img), True,
+        eps=jnp.asarray(e1), mutable=["batch_stats"])
+    # loss_seg: well-posed three-way check (docstring of assert_seg_bce_matches;
+    # the former direct f32 rtol=1e-5 comparison was context-sensitive, r4
+    # VERDICT weak #1)
+    assert_seg_bce_matches(out.detach().numpy().transpose(0, 2, 3, 1),
+                           np.asarray(f_out1), tgt_od,
+                           t_loss_seg.detach(), metrics["loss_seg"])
     close = lambda a, b, **kw: np.testing.assert_allclose(
         float(a), float(b.detach()), **kw)
-    close(metrics["loss_seg"], t_loss_seg, rtol=1e-5)
+    # remaining f32-vs-f32 loss comparisons: rtol=1e-4 sits ~4x above the
+    # measured cross-framework conv-noise floor (rel 2.6e-5, the loss_seg
+    # standalone measurement above — same U-Net forwards feed all of them)
     close(metrics["loss_ins_wt"], inst, rtol=1e-4)
     # KD losses run the TEACHER on post-phase-1/3 weights: those weights carry
     # one Adam step whose f32-noise-gradient elements legitimately differ by
@@ -525,12 +585,7 @@ def test_full_iteration_matches_reference(ref, monkeypatch):
     close(metrics["loss_kd_oc"], kd_oc, rtol=5e-3, atol=3e-5)
     close(metrics["loss_ins_wt_oc"], inst_oc, rtol=1e-4)
     # MMD residuals are cancellation-dominated: compare well-posed, in f64
-    # from each side's own f32 features (dom_mmd64). The JAX phase-1/3
-    # forwards are replayed eagerly on the pre-step variables — bit-identical
-    # to what the (unjitted) step consumed, since DeepWT has no BN state.
-    (f_out1, _, wt1), _ = f_main.apply(
-        v_main, jnp.asarray(img), jnp.asarray(tgt_od), jnp.asarray(img), True,
-        eps=jnp.asarray(e1), mutable=["batch_stats"])
+    # from each side's own f32 features (dom_mmd64; wt1 replayed above).
     assert_domain_mmd_matches(t_feats_1, [np.asarray(z) for z in wt1],
                               dom, metrics["loss_dom_wt"])
     roi_j = (jnp.asarray(img) + 1.0) * (
