@@ -128,6 +128,14 @@ def emit(note: str) -> bool:
         basis36 = (sem * nb / B if sem else own36)
         if basis36:
             b36["mfu"] = round(basis36 * (b36["ips"] / nb) / PEAK_FLOPS, 4)
+            # mirror the top-level field: when the unpacked measurement was
+            # budget-skipped this MFU silently falls back to the packed
+            # program's inflated count — readers must be able to tell whether
+            # the two MFU numbers share a basis
+            b36["mfu_basis"] = (
+                "unpacked-program flops (semantic MACs), scaled by batch"
+                if sem else
+                "own-program flops (packed fold counts structural zeros)")
         rec["batch36"] = b36
     print(json.dumps(rec), flush=True)
     return True

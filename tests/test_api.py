@@ -69,6 +69,28 @@ def test_predictor_native_resolution_resize(tmp_path):
     np.testing.assert_allclose(out_f["od_logits"], out["od_logits"], atol=1e-5)
 
 
+def test_predictor_two_class_channel_convention():
+    """With ``label=None`` (2-class checkpoints) the channel convention is
+    [cup, disc] (utils.py:298-329): the ``od`` mask must come from channel 1,
+    not channel 0 (which is the cup) — ADVICE r4. Stubbed predict_fn, so this
+    is a fast unit test of the Predictor postprocessing alone."""
+    from wt_pse_tpu.api import Predictor
+
+    H = 32
+    cup = np.full((H, H), -10.0)
+    cup[12:20, 12:20] = 10.0
+    disc = np.full((H, H), -10.0)
+    disc[6:26, 6:26] = 10.0
+    logits = np.stack([cup, disc], -1)[None].astype(np.float32)
+
+    p = Predictor(lambda arr: (logits, logits), (), label=None, image_size=H)
+    out = p(np.zeros((1, H, H, 3), np.float32))
+    disc_mask = (disc > 0).astype(np.uint8)
+    cup_mask = (cup > 0).astype(np.uint8)
+    np.testing.assert_array_equal(out["od"][0], disc_mask)
+    np.testing.assert_array_equal(out["oc"][0], cup_mask)
+
+
 def test_load_predictor_orbax_dir(tmp_path):
     import wt_pse_tpu as w
     from wt_pse_tpu.config import default_hparams

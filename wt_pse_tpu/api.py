@@ -85,8 +85,12 @@ class Predictor:
             oc_l = _resize_host(oc_l, native_hw)
         out = {"od_logits": od_l, "oc_logits": oc_l}
         if postprocess:
+            # 1-class checkpoints (label set) put their class in channel 0; the
+            # 2-class convention is [cup, disc] (utils.py:298-329), so with
+            # label=None the disc mask lives in channel 1
+            od_ch = 0 if self._label is not None else 1
             out["od"] = np.stack([
-                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
+                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[od_ch]
                 for o in od_l])
             out["oc"] = np.stack([
                 postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
@@ -96,14 +100,18 @@ class Predictor:
 
 def load_predictor(model_file: str, hparams: dict | None = None,
                    algorithm: str = "WT_PSE", label: str | None = "OD",
-                   partial_load: bool = False) -> Predictor:
+                   partial_load: bool = False,
+                   image_size: int = 256) -> Predictor:
     """Build a :class:`Predictor` from a checkpoint.
 
     ``model_file``: a reference-format ``.pth.tar`` or an orbax ensemble
     directory. ``hparams`` defaults to the algorithm's registry defaults —
     pass overrides for ablation checkpoints (e.g. ``{"whitening": False}``,
     with ``partial_load=True`` to restore the reference's filtered partial
-    load, ``test_visulization.py:132-197``).
+    load, ``test_visulization.py:132-197``). ``image_size`` is the network
+    input resolution the checkpoint was trained at (the reference pipeline is
+    fixed at 256, ``train.py:59``; pass the matching size for re-trained
+    checkpoints at other resolutions).
     """
     from wt_pse_tpu.cli.test_visualization import (
         build_networks_from_orbax, build_networks_from_torch_ckpt)
@@ -126,4 +134,4 @@ def load_predictor(model_file: str, hparams: dict | None = None,
         from wt_pse_tpu.train.eval import make_predict_fn
 
         predict_fn = make_predict_fn(*nets)
-    return Predictor(predict_fn, variables, label)
+    return Predictor(predict_fn, variables, label, image_size=image_size)

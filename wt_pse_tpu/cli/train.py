@@ -215,9 +215,16 @@ def main(args=None, left_argv=None):
         run_seed = args.seed if args.identical_reruns else args.seed + run_idx
         seed_initialization(run_seed)
         if run_idx == 0:
-            from wt_pse_tpu.utils.snapshot import save_code
+            import jax
 
-            save_code(out_root, hparams)
+            # one writer: in a multi-host run every process executes this CLI,
+            # and concurrent rmtree+copytree of the shared out_root/code dir
+            # race (Trainer nulls its logger on non-zero processes for the
+            # same reason)
+            if jax.process_index() == 0:
+                from wt_pse_tpu.utils.snapshot import save_code
+
+                save_code(out_root, hparams)
 
         train_domains = load_train_domains(args.data_dir, args.datasetTrain)
         val_domain = load_fundus(args.data_dir, "test", args.datasetTest,

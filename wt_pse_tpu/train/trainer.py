@@ -725,6 +725,19 @@ class Trainer:
             if (epoch + 1) % self.interval_validate == 0 and epoch > 2:
                 print("-" * 10, "start to validate", "-" * 10)
                 val = self.validate()
+                if jax.process_count() > 1:
+                    # The host-side metric path (scipy EDT, empty-GT handling)
+                    # is recomputed on every process; any cross-process skew
+                    # there would desynchronize the objective>best branch below
+                    # — and a process that skips the collective save_ensemble
+                    # deadlocks the others in orbax's barrier. Process 0's
+                    # numbers are authoritative for model selection.
+                    from jax.experimental import multihost_utils
+
+                    keys = sorted(val)
+                    vec = multihost_utils.broadcast_one_to_all(
+                        np.asarray([float(val[k]) for k in keys], np.float64))
+                    val = {k: float(v) for k, v in zip(keys, vec)}
                 _csv(val)
                 self.logger.scalars(epoch, {f"val/{k}": v for k, v in val.items()})
                 if val["objective"] > self.best["objective"]:
