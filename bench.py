@@ -119,7 +119,7 @@ def emit(note: str) -> bool:
                            else "own-program flops (packed fold counts "
                                 "structural zeros)")
         rec["peak_flops_assumed"] = PEAK_FLOPS
-    b36 = progress.get("batch36")
+    b36 = progress.get("scaling")
     if b36 is not None:
         b36 = dict(b36)
         own36 = b36.pop("_own_flops", None)
@@ -136,7 +136,11 @@ def emit(note: str) -> bool:
                 "unpacked-program flops (semantic MACs), scaled by batch"
                 if sem else
                 "own-program flops (packed fold counts structural zeros)")
-        rec["batch36"] = b36
+        # first-class throughput record (ROADMAP 3c-ii): the measured scaling
+        # knee sits at batch 72 (103 img/s; 144 OOMs HBM), so the non-parity
+        # "throughput mode" recommendation is this point, reported next to the
+        # reference-semantics batch-9 headline
+        rec["throughput_mode"] = b36
     print(json.dumps(rec), flush=True)
     return True
 
@@ -353,8 +357,8 @@ def jax_train_ips() -> float:
             log(f"[{mode}] cost_analysis unavailable: {type(e).__name__}: {e}")
 
         def bank(ips):
-            if batch != B:  # batch-scaling data point, not the headline
-                progress["batch36"] = {"ips": round(ips, 2), "batch": batch,
+            if batch != B:  # scaling/throughput data point, not the headline
+                progress["scaling"] = {"ips": round(ips, 2), "batch": batch,
                                        "_own_flops": flops_step}
             elif progress["ips"] is None or ips > progress["ips"]:
                 progress["ips"], progress["mode"] = ips, mode
@@ -389,13 +393,14 @@ def jax_train_ips() -> float:
         measure("unpacked", False)
     else:
         log("skipping unpacked comparison (over 45% of the budget used)")
-    # batch-scaling data point (VERDICT r3 #5): 36 = 3 domains x 12 shows
-    # whether batch 9 is the MXU-utilization bottleneck; reported as the
-    # "batch36" field next to its own MFU, never as the headline value
+    # throughput-mode data point (ROADMAP 3c-ii): the measured batch-scaling
+    # knee is 72 = 3 domains x 24 (90 img/s at 36, 103 at 72, OOM at 144), so
+    # the non-parity recommendation is batch 72; reported as the
+    # "throughput_mode" field next to its own MFU, never as the headline value
     if time.time() - T0 < 0.7 * budget:
-        measure("space_to_depth_b36", True, batch=3 * 12)
+        measure("space_to_depth_b72", True, batch=3 * 24)
     else:
-        log("skipping batch-36 scaling point (over 70% of the budget used)")
+        log("skipping batch-72 throughput point (over 70% of the budget used)")
     return progress["ips"]
 
 

@@ -62,36 +62,13 @@ def build_trainer(batch):
         val_visualization=False, dp=False)
 
 
-CLASSES = (
-    # (class label, name substrings — first hit wins)
-    ("conv (MXU)", ("convolution", "conv")),
-    ("matmul/einsum (MXU)", ("dot", "einsum")),
-    ("transpose/pack", ("transpose", "reshape", "copy", "bitcast")),
-    ("reduce (BN stats/loss)", ("reduce", "all-reduce")),
-    ("sort (none expected)", ("sort",)),
-    ("scatter/gather/dynamic", ("scatter", "gather", "dynamic", "select-and")),
-    ("elementwise fusion", ("fusion", "add", "multiply", "subtract", "divide",
-                            "maximum", "exponential", "log", "compare",
-                            "select", "tanh", "rsqrt", "power", "convert",
-                            "broadcast", "iota", "pad", "slice", "concatenate",
-                            "clamp", "negate", "sign", "floor", "ceil", "abs",
-                            "and", "or", "not", "xor", "rem", "map")),
-    ("rng", ("rng", "bitcast-convert", "shift", "xor")),
-    ("infeed/outfeed/host", ("infeed", "outfeed", "send", "recv", "host")),
-)
-
-
-def classify(name: str) -> str:
-    n = name.lower()
-    # strip the "%fusion.123" wrapper to the root op when present; XLA device
-    # events are usually named after the root or the fusion kind
-    for label, keys in CLASSES:
-        if any(k in n for k in keys):
-            return label
-    return "other"
-
-
 def parse_trace(outdir: str):
+    """Aggregate device-op time using XLA's OWN event metadata: every op event
+    in the TPU track carries ``hlo_category`` (XLA's classification:
+    "convolution", "loop fusion", "copy", ...), ``model_flops``,
+    ``bytes_accessed`` and ``source`` (repo file:line) — no name heuristics.
+    Umbrella spans (the while-loop scan wrapper, step markers) carry no
+    hlo_category and are skipped, so nothing double-counts."""
     paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -104,45 +81,64 @@ def parse_trace(outdir: str):
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # find device PIDs: process_name metadata containing "TPU" and not "host"
-    dev_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pname = e.get("args", {}).get("name", "")
-            if ("TPU" in pname or "tpu" in pname) and "Host" not in pname:
-                dev_pids.add(e["pid"])
-    if not dev_pids:  # fall back: report all pids found
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")}
+    if not dev_pids:
         names = {e.get("args", {}).get("name") for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
         print(f"no TPU pid found; process names: {sorted(filter(None, names))}")
         return
-    by_class = defaultdict(float)
-    by_name = defaultdict(float)
-    total = 0.0
+    by_cat = defaultdict(lambda: [0.0, 0.0, 0.0])  # us, flops, bytes
+    by_src = defaultdict(float)
+    by_name = defaultdict(lambda: [0.0, "", ""])
+    wall_us = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        dur = float(e.get("dur", 0.0))  # microseconds
+        args = e.get("args") or {}
         name = e.get("name", "?")
-        # skip the per-step/trace-level umbrella events (module-level spans
-        # overlap the op events and would double-count)
-        if dur <= 0 or name.startswith(("jit_", "XLA Modules", "Steps")):
+        dur = float(e.get("dur", 0.0))
+        cat = args.get("hlo_category")
+        if cat is None:
+            continue  # step markers etc.
+        if cat in ("while", "conditional"):
+            # control-flow umbrella spans CONTAIN the op events (the epoch
+            # scan's while wraps the whole step) — they are the wall-clock
+            # reference, never an op cost
+            wall_us += dur
             continue
-        total += dur
-        by_class[classify(name)] += dur
-        by_name[name] += dur
+        rec = by_cat[cat]
+        rec[0] += dur
+        rec[1] += float(args.get("model_flops", 0) or 0)
+        rec[2] += float(args.get("bytes_accessed", 0) or 0)
+        src = args.get("source", "?")
+        by_src[src] += dur
+        r = by_name[name]
+        r[0] += dur
+        r[1], r[2] = cat, src
+    total = sum(r[0] for r in by_cat.values())
     if total == 0:
-        print("no device op events found")
+        print("no categorized device op events found")
         return
-    steps_ms = total / 1e3 / SCAN_N
-    print(f"\ndevice op time total: {total / 1e3:.1f} ms over {SCAN_N} steps "
-          f"-> {steps_ms:.1f} ms/step attributed")
-    print(f"\n{'class':28s} {'ms/step':>9s} {'share':>7s}")
-    for cls, us in sorted(by_class.items(), key=lambda kv: -kv[1]):
-        print(f"{cls:28s} {us / 1e3 / SCAN_N:9.2f} {us / total:7.1%}")
-    print(f"\ntop 25 individual ops:")
-    for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"  {us / 1e3 / SCAN_N:8.3f} ms/step  {us / total:6.1%}  {name[:90]}")
+    print(f"\nscan-loop wall: {wall_us / 1e3 / SCAN_N:.1f} ms/step; "
+          f"op time attributed: {total / 1e3 / SCAN_N:.1f} ms/step "
+          f"({total / max(wall_us, 1):.0%} of wall — the rest is inter-op gaps)")
+    print(f"\n{'hlo_category':24s} {'ms/step':>8s} {'share':>7s} "
+          f"{'TFLOP/s':>8s} {'GB/s':>7s}")
+    for cat, (us, fl, by) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
+        tflops = fl / (us * 1e-6) / 1e12 if us else 0.0
+        gbs = by / (us * 1e-6) / 1e9 if us else 0.0
+        print(f"{cat:24s} {us / 1e3 / SCAN_N:8.2f} {us / total:7.1%} "
+              f"{tflops:8.2f} {gbs:7.0f}")
+    print(f"\ntop 20 source lines:")
+    for src, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {us / 1e3 / SCAN_N:8.3f} ms/step  {us / total:6.1%}  {src}")
+    print(f"\ntop 20 individual ops:")
+    for name, (us, cat, src) in sorted(by_name.items(),
+                                       key=lambda kv: -kv[1][0])[:20]:
+        print(f"  {us / 1e3 / SCAN_N:8.3f} ms/step  {us / total:6.1%}  "
+              f"{name[:40]:40s} {cat:18s} {src}")
 
 
 def main():
@@ -151,6 +147,9 @@ def main():
     batch = B
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--parse-only" in sys.argv:  # re-analyze an existing trace, no TPU
+        parse_trace(outdir)
+        return
     print(f"backend={jax.default_backend()} batch={batch}")
     t0 = time.time()
     float(np.asarray(jnp.zeros(()) + 1))  # claim probe

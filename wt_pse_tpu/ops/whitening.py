@@ -48,22 +48,26 @@ def feature_covariance(z: jax.Array, packed: bool = False) -> jax.Array:
     could not recover accuracy and costs ~6x the MXU passes.
     """
     if packed:
+        # contract over (packed pixels, phases) DIRECTLY — transposing to the
+        # unpacked (b, hw, c) layout first materializes a full-resolution
+        # reordered copy, which the r5 profiler measured at ~6 ms/step of pure
+        # data formatting across the step's eight covariance sites
         b, h2, w2, c4 = z.shape
         c = c4 // 4
-        h, w = 2 * h2, 2 * w2
-        f = jnp.transpose(z.reshape(b, h2 * w2, c, 4), (0, 1, 3, 2))
-        f = f.reshape(b, h * w, c)
+        n = 4 * h2 * w2
+        f = z.reshape(b, h2 * w2, c, 4)
+        eq = "bpcq,bpdq->bcd"
     else:
         b, h, w, c = z.shape
-        f = z.reshape(b, h * w, c)
+        n = h * w
+        f = z.reshape(b, n, c)
+        eq = "bpc,bpd->bcd"
     if f.dtype == jnp.bfloat16:
-        cov = jnp.einsum("bpc,bpd->bcd", f, f,
-                         preferred_element_type=jnp.float32)
+        cov = jnp.einsum(eq, f, f, preferred_element_type=jnp.float32)
     else:
         f = f.astype(jnp.float32)
-        cov = jnp.einsum("bpc,bpd->bcd", f, f,
-                         precision=jax.lax.Precision.HIGHEST)
-    cov = cov / (h * w - 1)
+        cov = jnp.einsum(eq, f, f, precision=jax.lax.Precision.HIGHEST)
+    cov = cov / (n - 1)
     return cov + EPS * jnp.eye(c, dtype=jnp.float32)
 
 
