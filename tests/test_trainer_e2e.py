@@ -86,6 +86,13 @@ def test_trainer_end_to_end(fundus_root, tmp_path):
     assert len(best) == 6
     # artifacts
     assert os.path.exists(os.path.join(out, "log.csv"))
+    # run_meta.json records the reproduction-relevant config incl. the
+    # resolved DP mode (auto-DP changes same-seed numerics; VERDICT r4 weak #6)
+    meta = json.load(open(os.path.join(out, "run_meta.json")))
+    assert meta["seed"] == 1 and meta["label"] == "OD"
+    assert meta["dp"]["requested"] == "auto"
+    assert isinstance(meta["dp"]["enabled"], bool)
+    assert meta["dp"]["n_devices"] >= 1
     lines = open(os.path.join(out, "metrics.jsonl")).read().strip().split("\n")
     assert len(lines) >= 5
     rec = json.loads(lines[0])

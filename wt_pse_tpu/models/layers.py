@@ -66,7 +66,10 @@ class BatchNorm(nn.Module):
         )
 
         if train:
-            xf = x.astype(jnp.float32)
+            # statistics in at-least-f32 (bf16 inputs promote; f64 runs — the
+            # long-horizon co-training parity harness — keep full precision
+            # instead of injecting f32 cancellation noise into every layer)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             if packed:
                 xf = xf.reshape(x.shape[:-1] + (self.features, 4))
                 reduce_axes = tuple(range(x.ndim - 1)) + (x.ndim,)  # N,H,W,phase

@@ -50,6 +50,18 @@ class RunLogger:
             except Exception:
                 self.tb = None
 
+    def run_meta(self, meta: dict):
+        """``run_meta.json``: one machine-readable record of how this run was
+        configured — written once at Trainer construction so the exact
+        reproduction command (notably the DP mode, which changes same-seed
+        numerics — see Trainer's reproducibility note) survives next to
+        log.csv instead of only scrolling by on stdout."""
+        if self.null:
+            return
+        with open(os.path.join(self.out, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+            f.write("\n")
+
     def scalars(self, step: int, payload: dict):
         if self.null:
             return
