@@ -119,20 +119,21 @@ def emit(note: str) -> bool:
                            else "own-program flops (packed fold counts "
                                 "structural zeros)")
         rec["peak_flops_assumed"] = PEAK_FLOPS
-    b36 = progress.get("scaling")
-    if b36 is not None:
-        b36 = dict(b36)
-        own36 = b36.pop("_own_flops", None)
-        nb = b36.get("batch", 36)
+    scal = progress.get("scaling")
+    if scal is not None:
+        scal = dict(scal)
+        own_flops = scal.pop("_own_flops", None)
+        nb = scal["batch"]  # measure() always records it; KeyError beats a
+        # silently-wrong default if that invariant ever breaks
         # flops scale linearly in batch -> semantic basis = sem * nb/B
-        basis36 = (sem * nb / B if sem else own36)
-        if basis36:
-            b36["mfu"] = round(basis36 * (b36["ips"] / nb) / PEAK_FLOPS, 4)
+        basis_s = (sem * nb / B if sem else own_flops)
+        if basis_s:
+            scal["mfu"] = round(basis_s * (scal["ips"] / nb) / PEAK_FLOPS, 4)
             # mirror the top-level field: when the unpacked measurement was
             # budget-skipped this MFU silently falls back to the packed
             # program's inflated count — readers must be able to tell whether
             # the two MFU numbers share a basis
-            b36["mfu_basis"] = (
+            scal["mfu_basis"] = (
                 "unpacked-program flops (semantic MACs), scaled by batch"
                 if sem else
                 "own-program flops (packed fold counts structural zeros)")
@@ -140,7 +141,7 @@ def emit(note: str) -> bool:
         # knee sits at batch 72 (103 img/s; 144 OOMs HBM), so the non-parity
         # "throughput mode" recommendation is this point, reported next to the
         # reference-semantics batch-9 headline
-        rec["throughput_mode"] = b36
+        rec["throughput_mode"] = scal
     print(json.dumps(rec), flush=True)
     return True
 

@@ -147,6 +147,12 @@ def main():
     batch = B
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--scan-n" in sys.argv:
+        # per-step figures divide by the scan length; a trace captured with a
+        # different length (another harness / future SCAN_N change) must be
+        # parsed with its own value or every ms/step number silently scales
+        global SCAN_N
+        SCAN_N = int(sys.argv[sys.argv.index("--scan-n") + 1])
     if "--parse-only" in sys.argv:  # re-analyze an existing trace, no TPU
         parse_trace(outdir)
         return

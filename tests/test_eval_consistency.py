@@ -65,7 +65,8 @@ def test_host_and_device_validation_select_the_same_model(fundus_root, tmp_path)
         fast_validation=True)  # precomputes the network-res masks both
     # validators below consume; each path is still invoked explicitly
 
-    # drive the production epoch program directly; snapshot every 3 epochs
+    # drive the production epoch program directly; snapshot every EPOCHS_PER_SNAP
+    # (=2) epochs, SNAPS snapshots total
     # (epoch_step donates its input state, so snapshots are explicit copies)
     state = trainer.state
     snaps = []

@@ -87,13 +87,17 @@ class Predictor:
         if postprocess:
             # 1-class checkpoints (label set) put their class in channel 0; the
             # 2-class convention is [cup, disc] (utils.py:298-329), so with
-            # label=None the disc mask lives in channel 1
+            # label=None the disc mask lives in channel 1. Only the kept
+            # channel is cleaned (LCC+fill is the dominant host cost — the
+            # discarded channel of each head would double it for nothing).
             od_ch = 0 if self._label is not None else 1
             out["od"] = np.stack([
-                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[od_ch]
+                postprocess_logits(np.moveaxis(o, -1, 0)[od_ch:od_ch + 1],
+                                   label=self._label or "OD")[0]
                 for o in od_l])
             out["oc"] = np.stack([
-                postprocess_logits(np.moveaxis(o, -1, 0), label=self._label)[0]
+                postprocess_logits(np.moveaxis(o, -1, 0)[0:1],
+                                   label=self._label or "OC")[0]
                 for o in oc_l])
         return out
 

@@ -87,9 +87,17 @@ class BatchNorm(nn.Module):
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # biased, for normalization
             if not self.is_initializing():
                 # torch: running = (1 - m) * running + m * batch (unbiased var)
+                # — written back at the stats' OWN dtype: under x64 the f64
+                # batch statistics would otherwise promote f32-initialized
+                # running stats to f64 after one step, breaking the epoch
+                # lax.scan carry-dtype invariant (the f64 parity harness
+                # opts into f64 stats by casting batch_stats up front)
+                sdt = ra_mean.value.dtype
                 unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean).astype(sdt)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased).astype(sdt)
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -188,25 +188,6 @@ class Trainer:
             print(f"[trainer] data-parallel over {self.n_dev} devices: "
                   f"{self.per_domain_batch // self.n_dev}/domain/device, "
                   f"global batch {self.per_domain_batch * self.domain_num}")
-        # persist the reproduction-relevant configuration (VERDICT r4 weak #6:
-        # auto-DP silently changes same-seed numerics across machines — record
-        # the resolved mode and the flag that reproduces it, machine-readably)
-        self.logger.run_meta({
-            "algorithm": algorithm, "label": label, "seed": seed,
-            "batch_size": batch_size, "image_size": image_size,
-            "max_epoch": max_epoch, "stop_epoch": self.stop_epoch,
-            "replicate_ref_quirks": replicate_ref_quirks,
-            "compute_dtype": str(self.hparams.get("compute_dtype", "float32")),
-            "dp": {"requested": "auto" if auto_dp else bool(dp),
-                   "enabled": self.dp, "n_devices": self.n_dev,
-                   "reproduce_single_device": None if not self.dp else
-                   "pass dp=False (cli: --no-dp) — auto-DP re-decomposes the "
-                   "per-seed RNG stream and BN summation order"},
-            "n_processes": jax.process_count(),
-            "platform": devs[0].platform if devs else "unknown",
-            "jax_version": jax.__version__,
-        })
-
         if label not in ("OC", "OD"):
             # the reference's label=None 2-class mode is vestigial: training
             # crashes there at the first loss (BCELoss shape mismatch — the
@@ -502,6 +483,28 @@ class Trainer:
             self.run_key = lift(self.run_key)
             print(f"[trainer] multi-host: state+data+key lifted to global "
                   f"replicated arrays over {jax.process_count()} processes")
+
+        # persist the reproduction-relevant configuration (VERDICT r4 weak #6:
+        # auto-DP silently changes same-seed numerics across machines — record
+        # the resolved mode and the flag that reproduces it, machine-readably).
+        # Written LAST so an invalid config that raises above never leaves a
+        # run_meta.json in a run dir that will produce no run.
+        self.logger.run_meta({
+            "algorithm": algorithm, "label": label, "seed": seed,
+            "batch_size": batch_size, "image_size": image_size,
+            "max_epoch": max_epoch, "stop_epoch": self.stop_epoch,
+            "replicate_ref_quirks": replicate_ref_quirks,
+            "compute_dtype": str(self.hparams.get("compute_dtype", "float32")),
+            "dp": {"requested": "auto" if auto_dp else bool(dp),
+                   "enabled": self.dp, "n_devices": self.n_dev,
+                   "reproduce_single_device": None if not self.dp else
+                   "pass dp=False (cli: --no-dp) — auto-DP re-decomposes the "
+                   "per-seed RNG stream and BN summation order"},
+            "resumed_from": resume or None,
+            "n_processes": jax.process_count(),
+            "platform": devs[0].platform if devs else "unknown",
+            "jax_version": jax.__version__,
+        })
 
     # ------------------------------------------------------------------
 
