@@ -74,3 +74,27 @@ def test_nan_without_recovery_raises(tmp_path):
     t.epoch_step = poison
     with pytest.raises(ValueError, match="nan"):
         t.train()
+
+
+def test_nan_in_oc_half_raises(tmp_path):
+    """The reference raises on BOTH halves (loss_data at Trainer.py:799 AND
+    loss_data_oc at 884-885); the OD/OC param trees are disjoint, so an
+    OC-side divergence never reaches loss_seg — the guard must read both."""
+    val = FundusDomain(images=_dom(2).images,
+                       labels=[l for l in _dom(2).labels], names=["a", "b"])
+    t = Trainer(hparams=default_hparams("WT_PSE"),
+                train_domains=[_dom(seed=s) for s in (1, 2, 3)], val_domain=val,
+                out_dir=str(tmp_path / "r3"), label="OC", batch_size=3,
+                max_epoch=2, interval_validate=99, seed=1, image_size=32)
+
+    real_step = t.epoch_step
+
+    def poison_oc(state, data, key, first_step, n_steps):
+        state, metrics = real_step(state, data, key, first_step, n_steps)
+        metrics = dict(metrics)
+        metrics["loss_seg_oc"] = jnp.full((n_steps,), float("nan"))
+        return state, metrics
+
+    t.epoch_step = poison_oc
+    with pytest.raises(ValueError, match="nan"):
+        t.train()

@@ -20,6 +20,8 @@ matmul-based resize used in the nets.
 from __future__ import annotations
 
 from collections import defaultdict
+import functools
+
 import numpy as np
 
 import jax
@@ -122,6 +124,14 @@ def _resize_highest(x, hw):
 _resize_logits = jax.jit(_resize_highest, static_argnums=(1,))
 
 
+@functools.lru_cache(maxsize=32)
+def _resize_matrix_f64(in_size: int, out_size: int) -> np.ndarray:
+    """f64 resize matrix, cached: a validation domain re-resizes every chunk
+    at the same native resolution — without the cache the O(native*256)
+    scatter build runs 2x per chunk per epoch. Callers must not mutate."""
+    return _linear_resize_matrix_np(in_size, out_size).astype(np.float64)
+
+
 def _linear_resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
     """numpy mirror of models.layers._linear_resize_matrix (identical math)."""
     src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
@@ -149,8 +159,8 @@ def _resize_host(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    mh = _linear_resize_matrix_np(h, oh).astype(np.float64)
-    mw = _linear_resize_matrix_np(w, ow).astype(np.float64)
+    mh = _resize_matrix_f64(h, oh)
+    mw = _resize_matrix_f64(w, ow)
     y = np.einsum("oh,nhwc->nowc", mh, x.astype(np.float64))
     return np.einsum("pw,nowc->nopc", mw, y).astype(np.float32)
 
@@ -216,13 +226,21 @@ def evaluate_domain(predict_fn, variables: tuple, images_u8: np.ndarray,
                     sums[k] += v
 
     out = {k: v / n for k, v in sums.items()}
-    if label == "OD":
-        out["objective"] = out["disc_dice"]
-    elif label == "OC":
-        out["objective"] = out["cup_dice"]
-    else:
-        out["objective"] = (out["cup_dice"] + out["disc_dice"]) / 2
+    out["objective"] = objective_from_means(out, label)
     return out
+
+
+def objective_from_means(out: dict, label: str | None) -> float:
+    """Model-selection objective from domain-mean metrics (Trainer.py:269-288):
+    the trained label's dice, or the cup/disc mean for the 2-class mode.
+    Shared by the host path and ``eval_device`` so the two validators can
+    never silently diverge on WHICH metric selects the best model (their
+    agreement is pinned by tests/test_eval_consistency.py)."""
+    if label == "OD":
+        return out["disc_dice"]
+    if label == "OC":
+        return out["cup_dice"]
+    return (out["cup_dice"] + out["disc_dice"]) / 2
 
 
 def _score_one(od_logits: np.ndarray, oc_logits: np.ndarray, od_gt: np.ndarray,

@@ -125,23 +125,24 @@ def evaluate_domain_device(predict_fn, variables, images_u8: np.ndarray,
         if k < batch_size:  # fixed compiled shape
             img = np.concatenate(
                 [img, np.zeros((batch_size - k,) + img.shape[1:], img.dtype)])
-        imgs = jnp.asarray(img / 127.5 - 1.0)
+        # host numpy in, NOT jnp.asarray: under multi-host DP the predict/
+        # metrics programs run on globally-replicated arrays, and a
+        # locally-placed device array mixed into that jit is rejected —
+        # the host path documents the same constraint (eval.py); jit
+        # transfers numpy per the program's sharding on every process
+        imgs = img / 127.5 - 1.0
         out_od, out_oc = predict_fn(*variables, imgs)
         hw = od_gt_256.shape[-2:]
         god = np.zeros((batch_size, *hw), np.float32)
         goc = np.zeros((batch_size, *hw), np.float32)
         god[:k] = od_gt_256[chunk]
         goc[:k] = oc_gt_256[chunk]
-        m = device_metrics(out_od[..., 0], out_oc[..., 0],
-                           jnp.asarray(god), jnp.asarray(goc))
+        m = device_metrics(out_od[..., 0], out_oc[..., 0], god, goc)
         for key, v in m.items():  # drop padded rows before aggregating
             acc[key] = acc.get(key, 0.0) + float(np.asarray(v)[:k].sum())
         weight += k
     out = {key: v / weight for key, v in acc.items()}
-    if label == "OD":
-        out["objective"] = out["disc_dice"]
-    elif label == "OC":
-        out["objective"] = out["cup_dice"]
-    else:
-        out["objective"] = (out["cup_dice"] + out["disc_dice"]) / 2
+    from wt_pse_tpu.train.eval import objective_from_means
+
+    out["objective"] = objective_from_means(out, label)
     return out

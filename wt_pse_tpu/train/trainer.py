@@ -655,20 +655,27 @@ class Trainer:
                 metrics = {k: float(per_step[j].mean())
                            for j, k in enumerate(names)}
             else:
-                metrics = {}
+                step_ms = []
                 for it in range(self.iter_per_epoch):
                     g = epoch * self.iter_per_epoch + it
                     step_key = jax.random.fold_in(self.run_key, g)
-                    self.state, metrics = self.fused_step(
+                    self.state, m = self.fused_step(
                         self.state, self.data, step_key)
+                    step_ms.append(m)
                     if self.per_step_logging:
                         self.logger.step_scalars(
-                            g, {k: float(v) for k, v in metrics.items()})
+                            g, {k: float(v) for k, v in m.items()})
                     if self.train_visualization and g % self.train_viz_interval == 0:
                         self._save_train_montage(g)
-                names = sorted(metrics)
-                stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
-                metrics = {k: float(v) for k, v in zip(names, stacked)}
+                # epoch MEANS, same semantics as the scan driver above (and the
+                # reference's running_* accumulators, Trainer.py:789-797) — a
+                # last-iteration snapshot here would silently change what the
+                # epoch rows in log.csv/metrics.jsonl mean between drivers
+                names = sorted(step_ms[0])
+                stacked = np.asarray(jnp.stack(
+                    [jnp.stack([m[k] for m in step_ms]) for k in names]))
+                metrics = {k: float(stacked[j].mean())
+                           for j, k in enumerate(names)}
             if self._lr_kwargs is not None:
                 # strict get_lr parity: the reference's per-epoch 'lr'/
                 # 'lr_shape' tensorboard scalars read the optimizer state
@@ -706,7 +713,12 @@ class Trainer:
                 epoch, lr_now, metrics.get("loss_seg_oc", 0.0),
                 metrics.get("loss_kd_oc", 0.0), metrics.get("loss_ins_wt_oc", 0.0),
                 metrics.get("loss_dom_wt_oc", 0.0), time.time() - t0)
-            if not np.isfinite(metrics.get("loss_seg", 0.0)):
+            # the reference raises on BOTH halves (loss_data at Trainer.py:799
+            # AND loss_data_oc at 884-885; same pair in the joint epoch at
+            # 573/631) — the OD and OC param trees are disjoint, so an OC-side
+            # divergence never shows in loss_seg
+            if not (np.isfinite(metrics.get("loss_seg", 0.0))
+                    and np.isfinite(metrics.get("loss_seg_oc", 0.0))):
                 if self.nan_recovery and self._last_good is not None:
                     # resilience beyond the reference: roll back to the last
                     # finite epoch and continue on a fresh RNG fold
